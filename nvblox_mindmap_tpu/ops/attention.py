@@ -1,0 +1,76 @@
+"""Fused multi-head attention for TPU.
+
+Functional core used by all model layers. Batch-first layout (B, L, E); heads
+are split after the rotary rotation is applied to the *full* embedding vector,
+matching the reference semantics where the rotary 3D code spans F (= 3 bands of
+F//3) rather than per-head dims (reference:
+mindmap/diffuser_actor/multihead_custom_attention.py:420-431).
+
+Design notes (TPU):
+- One einsum for scores, one for the value contraction; XLA fuses the scale,
+  mask add and softmax into the surrounding matmuls. For the context sizes of
+  this model (<= ~4k tokens, E=120) this saturates the MXU without a custom
+  kernel; a Pallas flash-attention path is provided in ``flash_attention.py``
+  for long contexts.
+- ``key_padding_mask`` is an exclusion mask: True = masked out (reference
+  convention). Masked logits get a large negative instead of -inf so fully
+  masked rows produce uniform weights rather than NaN.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    rotary_codes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    need_weights: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Scaled dot-product attention over projected q/k/v.
+
+    Args:
+        q: (B, L, E) projected queries.
+        k: (B, S, E) projected keys.
+        v: (B, S, E) projected values.
+        num_heads: number of attention heads (E % num_heads == 0).
+        key_padding_mask: optional (B, S) bool; True = exclude that key.
+        rotary_codes: optional (q_code, k_code), each (B, L/S, E, 2) from
+            ``rotary_pe_3d``; applied to q and k at full embedding width.
+        need_weights: also return per-head attention weights (B, H, L, S).
+
+    Returns:
+        (attn_out (B, L, E), weights or None)
+    """
+    B, L, E = q.shape
+    S = k.shape[1]
+    assert E % num_heads == 0
+    head_dim = E // num_heads
+    scaling = head_dim**-0.5
+
+    q = q * scaling
+    if rotary_codes is not None:
+        from nvblox_mindmap_tpu.ops.positional import apply_rotary_code
+
+        q_code, k_code = rotary_codes
+        q = apply_rotary_code(q, q_code)
+        k = apply_rotary_code(k, k_code)
+
+    qh = q.reshape(B, L, num_heads, head_dim)
+    kh = k.reshape(B, S, num_heads, head_dim)
+    vh = v.reshape(B, S, num_heads, head_dim)
+
+    logits = jnp.einsum("blhd,bshd->bhls", qh, kh)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhls,bshd->blhd", weights, vh).reshape(B, L, E)
+    return out, (weights if need_weights else None)

@@ -1,0 +1,22 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the reference's approach of testing distributed code without hardware
+(reference: mindmap/tests/test_distributed_sampling.py uses gloo on localhost);
+here we use XLA's host-platform device-count override so sharding/pjit paths
+compile and execute with 8 logical devices on CPU.
+
+Note: this environment pre-sets JAX_PLATFORMS=axon (TPU tunnel) via
+sitecustomize, so we must override through jax.config, not just the env var.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
