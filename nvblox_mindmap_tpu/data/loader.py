@@ -1,0 +1,276 @@
+"""Data-loader assembly: item routing, transform stacks, prefetching loader.
+
+(reference: mindmap/data_loading/dataset_files_by_encoding_method.py +
+dataset.py:get_dataloader) The loader yields model-ready numpy batch dicts
+(already unpacked channel-last) and prefetches the next batch on a background
+thread so host IO overlaps device compute - the torch DataLoader-worker
+pattern re-done for a jax host loop.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nvblox_mindmap_tpu.data.batching import collate_batch, unpack_batch
+from nvblox_mindmap_tpu.data.data_types import (
+    DataType,
+    includes_depth_camera,
+    includes_mesh,
+    includes_rgb,
+)
+from nvblox_mindmap_tpu.data.dataset import (
+    DemoDataset,
+    SamplingWeightingType,
+)
+from nvblox_mindmap_tpu.data.item_names import (
+    COMMON_RUNTIME_ITEMS,
+    GT_POLICY_STATE_PRED_ITEM_NAME,
+    MESH_ITEMS,
+    NVBLOX_VERTEX_FEATURES_ITEM_NAME,
+    POLICY_STATE_HISTORY_ITEM_NAME,
+)
+from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+from nvblox_mindmap_tpu.data.sampler import WeightedEpochSampler
+from nvblox_mindmap_tpu.data.transforms import (
+    DepthTransformer,
+    GeometryAugmentor,
+    GeometryNoiser,
+    RgbTransformer,
+    VertexSampler,
+)
+from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
+from nvblox_mindmap_tpu.embodiments.base import EmbodimentBase
+
+
+def get_item_names_by_data_type(
+    data_type: DataType, embodiment_specific_items: Dict
+) -> List[str]:
+    item_names = list(COMMON_RUNTIME_ITEMS)
+    if includes_rgb(data_type):
+        item_names.extend(embodiment_specific_items["rgb"])
+    if includes_depth_camera(data_type):
+        item_names.extend(embodiment_specific_items["depth"])
+    if includes_mesh(data_type):
+        item_names.extend(MESH_ITEMS)
+    return item_names
+
+
+def get_transforms_by_data_type(
+    data_type: DataType,
+    embodiment_specific_items: Dict,
+    apply_random_transforms: bool = False,
+    apply_geometry_noise: bool = False,
+    pos_noise_stddev_m: float = 0.0,
+    rot_noise_stddev_deg: float = 0.0,
+    random_translation_range_m: Optional[Tuple] = None,
+    random_rpy_range_deg: Optional[Tuple] = None,
+    num_vertices_to_sample: Optional[int] = None,
+    vertex_sampling_method: Optional[VertexSamplingMethod] = None,
+    seed: int = 0,
+) -> Dict[str, list]:
+    transforms = defaultdict(list)
+    rng = np.random.default_rng(seed)
+
+    if apply_random_transforms:
+        assert random_translation_range_m is not None
+        assert random_rpy_range_deg is not None
+        augmentor = GeometryAugmentor(
+            random_translation_range_m, random_rpy_range_deg, rng
+        )
+        transforms[POLICY_STATE_HISTORY_ITEM_NAME].append(augmentor)
+        transforms[GT_POLICY_STATE_PRED_ITEM_NAME].append(augmentor)
+        if data_type == DataType.MESH:
+            transforms[NVBLOX_VERTEX_FEATURES_ITEM_NAME].append(augmentor)
+        else:
+            raise NotImplementedError(
+                f"Random transforms unsupported for data type: {data_type}"
+            )
+
+    if apply_geometry_noise:
+        noiser = GeometryNoiser(pos_noise_stddev_m, rot_noise_stddev_deg, rng)
+        transforms[POLICY_STATE_HISTORY_ITEM_NAME].append(noiser)
+        if includes_mesh(data_type):
+            transforms[NVBLOX_VERTEX_FEATURES_ITEM_NAME].append(noiser)
+        else:
+            raise NotImplementedError(
+                f"Geometry noise unsupported for data type: {data_type}"
+            )
+
+    if includes_rgb(data_type):
+        for rgb_item in embodiment_specific_items["rgb"]:
+            transforms[rgb_item].append(RgbTransformer())
+    if includes_depth_camera(data_type):
+        for depth_item in embodiment_specific_items["depth"]:
+            if "png" in depth_item:
+                transforms[depth_item].append(DepthTransformer())
+    if includes_mesh(data_type):
+        transforms[NVBLOX_VERTEX_FEATURES_ITEM_NAME].append(
+            VertexSampler(num_vertices_to_sample, vertex_sampling_method, rng)
+        )
+    return dict(transforms)
+
+
+class DataLoader:
+    """Batched iterator over a DemoDataset with background prefetch."""
+
+    def __init__(
+        self,
+        dataset: DemoDataset,
+        embodiment: EmbodimentBase,
+        data_type: DataType,
+        batch_size: int,
+        add_external_cam: bool = False,
+        rgbd_min_depth_threshold: float = 0.0,
+        sampler: Optional[WeightedEpochSampler] = None,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.embodiment = embodiment
+        self.data_type = data_type
+        self.batch_size = batch_size
+        self.add_external_cam = add_external_cam
+        self.rgbd_min_depth_threshold = rgbd_min_depth_threshold
+        self.sampler = sampler
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def _index_batches(self) -> List[List[int]]:
+        if self.sampler is not None:
+            order = list(iter(self.sampler))
+        else:
+            order = list(range(len(self.dataset)))
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    def _make_batch(self, indices: Sequence[int]) -> Dict:
+        samples = [self.dataset[i] for i in indices]
+        collated = collate_batch(samples)
+        return unpack_batch(
+            self.embodiment,
+            collated,
+            self.data_type,
+            self.add_external_cam,
+            self.rgbd_min_depth_threshold,
+        )
+
+    def __len__(self) -> int:
+        return len(self._index_batches())
+
+    def __iter__(self):
+        batches = self._index_batches()
+        if self.prefetch <= 0:
+            for indices in batches:
+                yield self._make_batch(indices)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for indices in batches:
+                    q.put(self._make_batch(indices))
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+
+
+def get_data_loader_by_data_type(
+    embodiment: EmbodimentBase,
+    dataset_path: str,
+    demos: str,
+    num_workers: int,  # kept for API parity; prefetch threads are used instead
+    batch_size: int,
+    use_keyposes: bool,
+    data_type: DataType,
+    only_sample_keyposes: bool,
+    extra_keyposes_around_grasp_events: Sequence[int],
+    keypose_detection_mode: KeyposeDetectionMode,
+    include_failed_demos: bool,
+    sampling_weighting_type: SamplingWeightingType,
+    num_history: int,
+    prediction_horizon: int,
+    apply_random_transforms: bool = False,
+    apply_geometry_noise: bool = False,
+    pos_noise_stddev_m: float = 0.0,
+    rot_noise_stddev_deg: float = 0.0,
+    add_external_cam: bool = False,
+    num_vertices_to_sample: Optional[int] = None,
+    vertex_sampling_method: Optional[VertexSamplingMethod] = None,
+    random_translation_range_m: Optional[Tuple] = None,
+    random_rpy_range_deg: Optional[Tuple] = None,
+    rgbd_min_depth_threshold: float = 0.0,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    seed: int = 0,
+) -> Tuple[DataLoader, Optional[WeightedEpochSampler]]:
+    """Build the full train/eval loader for a data type (reference API parity)."""
+    items = embodiment.get_camera_item_names_by_encoding_method(add_external_cam)
+    item_names = get_item_names_by_data_type(data_type, items)
+    transforms = get_transforms_by_data_type(
+        data_type=data_type,
+        embodiment_specific_items=items,
+        apply_random_transforms=apply_random_transforms,
+        apply_geometry_noise=apply_geometry_noise,
+        pos_noise_stddev_m=pos_noise_stddev_m,
+        rot_noise_stddev_deg=rot_noise_stddev_deg,
+        random_translation_range_m=random_translation_range_m,
+        random_rpy_range_deg=random_rpy_range_deg,
+        num_vertices_to_sample=num_vertices_to_sample,
+        vertex_sampling_method=vertex_sampling_method,
+        seed=seed,
+    )
+    dataset = DemoDataset(
+        dataset_path,
+        demos=demos,
+        embodiment=embodiment,
+        item_names=item_names,
+        transforms=transforms,
+        only_sample_keyposes=only_sample_keyposes,
+        include_failed_demos=include_failed_demos,
+        num_history=num_history,
+        prediction_horizon=prediction_horizon,
+        use_keyposes=use_keyposes,
+        extra_keyposes_around_grasp_events=extra_keyposes_around_grasp_events,
+        keypose_detection_mode=keypose_detection_mode,
+    )
+    sampler = None
+    if sampling_weighting_type != SamplingWeightingType.NONE:
+        weights = dataset.get_sample_weights(sampling_weighting_type, use_keyposes)
+        replacement = sampling_weighting_type != SamplingWeightingType.UNIFORM
+        sampler = WeightedEpochSampler(
+            weights,
+            num_samples=len(dataset),
+            replacement=replacement,
+            seed=seed,
+            num_shards=num_shards,
+            shard_index=shard_index,
+        )
+    loader = DataLoader(
+        dataset,
+        embodiment,
+        data_type,
+        batch_size,
+        add_external_cam=add_external_cam,
+        rgbd_min_depth_threshold=rgbd_min_depth_threshold,
+        sampler=sampler,
+    )
+    return loader, sampler

@@ -1,0 +1,435 @@
+"""Data-parallel trainer (pjit over a 1-D device mesh).
+
+TPU-native re-design of the reference training app (reference:
+mindmap/run_training.py). Differences by design:
+
+- DDP gradient allreduce -> batch-sharded jit; XLA inserts the psum over ICI.
+- The whole step (preprocess -> encode -> denoise -> loss -> grad -> AdamW
+  update) is one compiled program with donated params/opt_state, so steady
+  state runs with zero host round-trips besides the input feed.
+- Evaluation runs the full reverse-diffusion sampler and the 18-metric suite
+  as a second compiled program.
+
+Parity kept: iteration-based loop, epoch-seeded weighted sampling
+(set_epoch every 5 epochs), grad accumulation, LinearLR, best/last
+checkpoints + frozen training args, hierarchical timers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nvblox_mindmap_tpu.data.loader import DataLoader
+from nvblox_mindmap_tpu.models.diffuser_actor import (
+    DiffuserActor,
+    DiffuserActorConfig,
+    diffusion_train_loss,
+    prepare_inputs,
+    sample_trajectory,
+)
+from nvblox_mindmap_tpu.models.loss import compute_loss, compute_metrics
+from nvblox_mindmap_tpu.models.normalization import unnormalize_trajectory
+from nvblox_mindmap_tpu.parallel.mesh import (
+    make_data_mesh,
+    replicate,
+    shard_batch,
+)
+from nvblox_mindmap_tpu.training.checkpoint import (
+    load_checkpoint_file,
+    save_checkpoint,
+    save_training_args,
+)
+from nvblox_mindmap_tpu.training.optimizer import make_optimizer
+from nvblox_mindmap_tpu.utils.timers import Timer, timer_status_string
+
+logger = logging.getLogger("nvblox_mindmap_tpu.trainer")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    train_iters: int = 100_000
+    batch_size: int = 32
+    initial_learning_rate: float = 1e-4
+    learning_rate_end_factor: float = 0.5
+    learning_rate_convergence_percentage: float = 0.75
+    weight_decay: float = 5e-4
+    accumulate_grad_batches: int = 1
+    val_freq: int = 100
+    num_batches_per_train_eval: int = 10
+    num_batches_per_test_eval: int = -1
+    skip_train_val: bool = False
+    print_timers_freq: int = 1000
+    print_progress_freq: int = 100
+    save_checkpoint: bool = True
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+    set_epoch_every: int = 5
+
+
+def make_train_batch_template(
+    config: DiffuserActorConfig,
+    batch_size: int = 2,
+    n_vertices: int = 32,
+    feature_dim: int = 8,
+    image_size: int = 32,
+    ncam: int = 1,
+) -> Dict[str, Any]:
+    """A zero batch with the right structure, for model init / AOT compile."""
+    L, G, H = config.prediction_horizon, config.ngrippers, config.nhist
+    batch: Dict[str, Any] = {
+        "gripper_history": np.zeros((batch_size, H, G, 8), np.float32),
+        "gt_gripper_pred": np.zeros((batch_size, L, G, 8), np.float32),
+        "gt_head_yaw": (
+            np.zeros((batch_size, L, 1), np.float32) if config.predict_head_yaw else None
+        ),
+        "instruction": None,
+        "rgbs": None,
+        "pcds": None,
+        "pcd_valid_mask": None,
+        "vertices": None,
+        "vertex_features": None,
+        "vertices_valid_mask": None,
+        "is_keypose": None,
+    }
+    batch["gripper_history"][..., 3] = 1.0  # unit quaternions
+    batch["gt_gripper_pred"][..., 3] = 1.0
+    if config.data_type in ("mesh", "rgbd_and_mesh"):
+        batch["vertices"] = np.zeros((batch_size, n_vertices, 3), np.float32)
+        batch["vertex_features"] = np.zeros(
+            (batch_size, n_vertices, feature_dim), np.float32
+        )
+        batch["vertices_valid_mask"] = np.ones((batch_size, n_vertices), bool)
+    if config.data_type in ("rgbd", "rgbd_and_mesh"):
+        batch["rgbs"] = np.zeros((batch_size, ncam, image_size, image_size, 3),
+                                 np.float32)
+        batch["pcds"] = np.zeros((batch_size, ncam, image_size, image_size, 3),
+                                 np.float32)
+        batch["pcd_valid_mask"] = np.ones((batch_size, ncam, image_size, image_size),
+                                          bool)
+    return batch
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_config: DiffuserActorConfig,
+        trainer_config: TrainerConfig,
+        workspace_bounds: np.ndarray,
+        mesh=None,
+    ):
+        self.model_config = model_config
+        self.config = trainer_config
+        self.workspace_bounds = jnp.asarray(workspace_bounds, dtype=jnp.float32)
+        self.model = DiffuserActor(model_config)
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        self._train_step = None
+        self._eval_step = None
+
+    # --- setup ---------------------------------------------------------------
+    def init_state(self, batch_template: Dict[str, Any], rng: Optional[jax.Array] = None):
+        """Initialize (params, opt_state) from a structural batch template."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        prepared = prepare_inputs(
+            _to_jnp(batch_template), self.workspace_bounds, self.model_config
+        )
+        L, G = self.model_config.prediction_horizon, self.model_config.ngrippers
+        B = batch_template["gripper_history"].shape[0]
+        noisy = jnp.zeros((B, L, G, 9))
+        ts = jnp.zeros((B,), dtype=jnp.int32)
+        variables = self.model.init(rng, prepared, noisy, ts)
+        params = variables["params"]
+        tx = self._make_tx(params)
+        opt_state = tx.init(params)
+        params = replicate(params, self.mesh)
+        opt_state = replicate(opt_state, self.mesh)
+        return params, opt_state
+
+    def _make_tx(self, params):
+        return make_optimizer(
+            params,
+            initial_learning_rate=self.config.initial_learning_rate,
+            weight_decay=self.config.weight_decay,
+            end_factor=self.config.learning_rate_end_factor,
+            total_iters=self.config.train_iters,
+            convergence_percentage=self.config.learning_rate_convergence_percentage,
+            accumulate_grad_batches=self.config.accumulate_grad_batches,
+        )
+
+    # --- compiled steps ------------------------------------------------------
+    def _build_train_step(self, params):
+        tx = self._make_tx(params)
+        model = self.model
+        cfg = self.model_config
+        bounds = self.workspace_bounds
+        dropout = (
+            cfg.encoder_dropout > 0
+            or cfg.diffusion_dropout > 0
+            or cfg.predictor_dropout > 0
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            prepared = prepare_inputs(batch, bounds, cfg)
+
+            def loss_fn(p):
+                losses = diffusion_train_loss(
+                    model, {"params": p}, prepared, rng, deterministic=not dropout
+                )
+                return losses["total"], losses
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        return train_step
+
+    def _build_eval_step(self):
+        model = self.model
+        cfg = self.model_config
+        bounds = self.workspace_bounds
+
+        @jax.jit
+        def eval_step(params, batch, rng):
+            prepared = prepare_inputs(batch, bounds, cfg)
+            traj_pred_9, head_yaw, _ = _sample_normalized(
+                model, {"params": params}, prepared, rng, cfg
+            )
+            # Loss against the normalized GT trajectory (reference
+            # evaluate_nsteps computes loss on the sampled trajectory).
+            losses = compute_loss(
+                traj_pred_9,
+                head_yaw,
+                prepared["gt_gripper_pred"],
+                prepared.get("gt_openness"),
+                prepared.get("gt_head_yaw"),
+                loss_weights=cfg.loss_weights,
+                predict_head_yaw=cfg.predict_head_yaw,
+                rotation_form="6D",
+            )
+            # Metrics on unnormalized quaternion actions.
+            pred_unnorm = unnormalize_trajectory(
+                traj_pred_9, bounds, cfg.rotation_parametrization, cfg.quaternion_format
+            )
+            gt = jnp.concatenate(
+                [
+                    unnormalize_trajectory(
+                        prepared["gt_gripper_pred"],
+                        bounds,
+                        cfg.rotation_parametrization,
+                        cfg.quaternion_format,
+                    ),
+                    prepared["gt_openness"],
+                ],
+                axis=-1,
+            )
+            metrics = compute_metrics(
+                pred_unnorm,
+                head_yaw,
+                gt,
+                prepared.get("gt_head_yaw"),
+                predict_head_yaw=cfg.predict_head_yaw,
+                rotation_form="quaternion",
+            )
+            return losses, metrics
+
+        return eval_step
+
+    # --- public API ----------------------------------------------------------
+    def train_one_step(self, params, opt_state, batch, step: int):
+        if self._train_step is None:
+            self._train_step = self._build_train_step(params)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), step)
+        with Timer("step/train/shard_batch"):
+            device_batch = shard_batch(batch, self.mesh)
+        with Timer("step/train/compute"):
+            params, opt_state, losses = self._train_step(
+                params, opt_state, device_batch, rng
+            )
+        return params, opt_state, losses
+
+    def evaluate_nsteps(
+        self, params, loader: DataLoader, step: int, num_batches: int, split: str
+    ) -> Tuple[float, Dict[str, float]]:
+        """Run eval batches; returns (mean total loss, mean metrics)."""
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        n = len(loader) if num_batches == -1 else min(num_batches, len(loader))
+        loss_sum = 0.0
+        metric_sums: Dict[str, np.ndarray] = {}
+        count = 0
+        for i, batch in enumerate(loader):
+            if i >= n:
+                break
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.seed + 17), step * 1000 + i
+            )
+            device_batch = shard_batch(batch, self.mesh)
+            with Timer("step/eval/inference"):
+                losses, metrics = self._eval_step(params, device_batch, rng)
+                losses, metrics = jax.device_get((losses, metrics))
+            loss_sum += float(losses["total"])
+            for k, v in metrics.items():
+                metric_sums[k] = metric_sums.get(k, 0.0) + np.asarray(v)
+            count += 1
+        if count == 0:
+            return float("inf"), {}
+        mean_metrics = {k: v / count for k, v in metric_sums.items()}
+        mean_loss = loss_sum / count
+        logger.info(
+            "[%s] step %d: loss %.4f, distance %.4f m, rot err %.2f deg",
+            split,
+            step,
+            mean_loss,
+            float(np.asarray(mean_metrics.get("distance_m", np.nan))),
+            float(np.asarray(mean_metrics.get("rot_error_deg", np.nan))),
+        )
+        return mean_loss, mean_metrics
+
+    def run_training(
+        self,
+        train_loader: DataLoader,
+        validation_loader: DataLoader,
+        params=None,
+        opt_state=None,
+        start_iter: int = 0,
+        best_loss: Optional[float] = None,
+        args_dict: Optional[Dict] = None,
+    ):
+        """Iteration-based training loop (reference run_training.py:497-789)."""
+        cfg = self.config
+        if params is None:
+            first = next(iter(train_loader))
+            params, opt_state = self.init_state(first)
+
+        train_epoch_length = len(train_loader)
+        assert train_epoch_length > 0, "Train loader contains less than one batch."
+        train_iter = None
+        step = start_iter
+        while step < cfg.train_iters:
+            epoch_idx = step // train_epoch_length
+            if step % train_epoch_length == 0 or train_iter is None:
+                if train_loader.sampler is not None and (
+                    epoch_idx % cfg.set_epoch_every == 0
+                ):
+                    train_loader.sampler.set_epoch(epoch_idx)
+                train_iter = iter(train_loader)
+            step_timer = Timer("step")
+            with Timer("step/load_batch"):
+                try:
+                    batch = next(train_iter)
+                except StopIteration:
+                    train_iter = iter(train_loader)
+                    batch = next(train_iter)
+            with Timer("step/train"):
+                params, opt_state, losses = self.train_one_step(
+                    params, opt_state, batch, step
+                )
+            if step % cfg.print_progress_freq == 0:
+                host_losses = jax.device_get(losses)
+                logger.info(
+                    "step %d/%d (epoch %d): total %.4f pos %.4f rot %.4f grip %.4f",
+                    step,
+                    cfg.train_iters,
+                    epoch_idx,
+                    float(host_losses["total"]),
+                    float(host_losses["pos"]),
+                    float(host_losses["rot"]),
+                    float(host_losses["gripper"]),
+                )
+            if (step + 1) % cfg.val_freq == 0:
+                if not cfg.skip_train_val:
+                    self.evaluate_nsteps(
+                        params,
+                        train_loader,
+                        step,
+                        cfg.num_batches_per_train_eval,
+                        split="train-val",
+                    )
+                new_loss, _ = self.evaluate_nsteps(
+                    params,
+                    validation_loader,
+                    step,
+                    cfg.num_batches_per_test_eval,
+                    split="val",
+                )
+                if cfg.save_checkpoint and jax.process_index() == 0:
+                    best_loss = save_checkpoint(
+                        cfg.checkpoint_dir, params, opt_state, step, new_loss, best_loss
+                    )
+                    if args_dict is not None:
+                        save_training_args(cfg.checkpoint_dir, args_dict)
+            step_timer.stop()
+            if step % cfg.print_timers_freq == 0 and step > 0:
+                logger.info("\n%s", timer_status_string())
+            step += 1
+        return params, opt_state, best_loss
+
+    def load_checkpoint(self, path: str, batch_template: Dict[str, Any]):
+        params, opt_state = self.init_state(batch_template)
+        params_t, opt_t = jax.device_get((params, opt_state))
+        params, opt_state, step, best_loss = load_checkpoint_file(
+            path, params_t, opt_t
+        )
+        params = replicate(params, self.mesh)
+        opt_state = replicate(opt_state, self.mesh)
+        return params, opt_state, step, best_loss
+
+
+def _to_jnp(batch: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None,
+        batch,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def _sample_normalized(model, variables, prepared, rng, cfg):
+    """Sampler in normalized space (no unnormalize), for eval losses."""
+    pos_sched, rot_sched = cfg.schedules()
+    fixed = model.apply(
+        variables,
+        prepared.get("rgbs"),
+        prepared.get("pcds"),
+        prepared.get("pcd_valid_mask"),
+        prepared.get("vertex_features"),
+        prepared.get("vertices"),
+        prepared.get("vertices_valid_mask"),
+        prepared.get("instruction"),
+        prepared["gripper_history"],
+        prepared["curr_closedness"],
+        method=DiffuserActor.encode,
+    )
+    B = prepared["gripper_history"].shape[0]
+    L, G = cfg.prediction_horizon, cfg.ngrippers
+    timesteps = pos_sched.timesteps()
+    T = timesteps.shape[0]
+    init_key, *step_keys = jax.random.split(rng, T + 1)
+    step_keys = jnp.stack(step_keys)
+    trajectory = jax.random.normal(init_key, (B, L, G, 9), dtype=jnp.float32)
+
+    def step_fn(traj, inputs):
+        t, key = inputs
+        t_batch = jnp.full((B,), t, dtype=jnp.int32)
+        pred, head_yaw, weights = model.apply(
+            variables, traj, t_batch, fixed, method=DiffuserActor.denoise
+        )
+        pk, rk = jax.random.split(key)
+        pos = pos_sched.step(pred[..., :3], t, traj[..., :3], key=pk)
+        rot = rot_sched.step(pred[..., 3:9], t, traj[..., 3:9], key=rk)
+        return jnp.concatenate([pos, rot], axis=-1), (pred[..., 9:], head_yaw, weights)
+
+    trajectory, (openness_seq, head_yaw_seq, weights_seq) = jax.lax.scan(
+        step_fn, trajectory, (timesteps, step_keys)
+    )
+    traj10 = jnp.concatenate([trajectory, openness_seq[-1]], axis=-1)
+    head_yaw = None if head_yaw_seq is None else head_yaw_seq[-1]
+    return traj10, head_yaw, jnp.mean(weights_seq, axis=0)

