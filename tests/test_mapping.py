@@ -1,0 +1,199 @@
+"""Mapper: TSDF fusion, decay, feature integration, surface extraction."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nvblox_mindmap_tpu.mapping.constants import MapperId, MappingConfig
+from nvblox_mindmap_tpu.mapping.mapper import (
+    Mapper,
+    get_vertices_and_features,
+    integrate_frame,
+    save_feature_mesh_to_disk,
+)
+from nvblox_mindmap_tpu.mapping import voxel_grid as vg
+
+
+def small_config(feature_dim=8):
+    return MappingConfig(
+        voxel_size_m=0.02,
+        aabb_min_m=(-0.5, -0.5, 0.5),
+        aabb_max_m=(0.5, 0.5, 1.5),
+        tsdf_decay_factor=0.98,
+        min_integration_distance_m=0.1,
+        feature_dim=feature_dim,
+        max_feature_pages=512,
+        valid_depth_mask_erosion_iterations=1,
+        static_mask_erosion_iterations=1,
+    )
+
+
+def camera():
+    """Camera at origin looking along +z (camera frame == world frame)."""
+    H = W = 64
+    f = 64.0
+    K = np.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32)
+    T = np.eye(4, dtype=np.float32)
+    return K, T, H, W
+
+
+def test_tsdf_wall_integration():
+    cfg = small_config()
+    state = vg.create_state(cfg)
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)  # wall at z=1
+    state = vg.integrate_depth(state, cfg, jnp.asarray(depth), jnp.asarray(T),
+                               jnp.asarray(K))
+    tsdf = np.asarray(state.tsdf)
+    weight = np.asarray(state.weight)
+    X, Y, Z = cfg.grid_shape
+    cx, cy = X // 2, Y // 2
+    zs = np.asarray(vg.voxel_centers_flat(cfg)).reshape(X, Y, Z, 3)[cx, cy, :, 2]
+    center_tsdf = tsdf[cx, cy]
+    center_w = weight[cx, cy]
+    # Voxels well in front of the wall: positive tsdf (truncated).
+    front = zs < 1.0 - cfg.truncation_distance_m
+    observed_front = front & (center_w > 0)
+    assert observed_front.sum() > 0
+    np.testing.assert_allclose(
+        center_tsdf[observed_front], cfg.truncation_distance_m, atol=1e-5
+    )
+    # Near the wall: tsdf crosses zero around z=1.
+    near = np.abs(zs - 1.0) < 0.5 * cfg.voxel_size_m
+    assert np.all(np.abs(center_tsdf[near & (center_w > 0)]) < cfg.voxel_size_m)
+    # Behind the wall beyond truncation: unobserved.
+    behind = zs > 1.0 + cfg.truncation_distance_m + cfg.voxel_size_m
+    assert np.all(center_w[behind] == 0)
+
+
+def test_decay_forgets():
+    cfg = small_config()
+    state = vg.create_state(cfg)
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    state = vg.integrate_depth(state, cfg, jnp.asarray(depth), jnp.asarray(T),
+                               jnp.asarray(K))
+    w0 = float(np.asarray(state.weight).max())
+    for _ in range(3):
+        state = vg.decay(state, cfg)
+    w3 = float(np.asarray(state.weight).max())
+    np.testing.assert_allclose(w3, w0 * cfg.tsdf_decay_factor**3, rtol=1e-5)
+    # Many decays -> fully forgotten.
+    for _ in range(500):
+        state = vg.decay(state, cfg)
+    assert float(np.asarray(state.weight).max()) == 0.0
+
+
+def test_feature_integration_and_extraction():
+    cfg = small_config(feature_dim=8)
+    mapper = Mapper({MapperId.STATIC: cfg})
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    feat_value = np.arange(1, 9, dtype=np.float32) / 10.0
+    features = np.broadcast_to(feat_value, (H, W, 8)).copy()
+    rgb = np.full((H, W, 3), 0.5, dtype=np.float32)
+
+    mapper.add_depth_frame(depth, T, K)
+    mapper.add_feature_frame(features, T, K)
+    mapper.add_color_frame(rgb, T, K)
+
+    mapper.update_feature_mesh(MapperId.STATIC, max_vertices=4096)
+    vertices, feats = get_vertices_and_features(mapper)
+    assert vertices.shape[0] > 50
+    # Vertices lie near the wall plane z=1.
+    assert np.all(np.abs(vertices[:, 2] - 1.0) < 3 * cfg.voxel_size_m)
+    # Extracted features match the constant input where assigned.
+    nonzero = np.abs(feats).sum(axis=1) > 0
+    assert nonzero.sum() > 10
+    np.testing.assert_allclose(
+        feats[nonzero], np.broadcast_to(feat_value, (nonzero.sum(), 8)),
+        atol=2e-2,
+    )
+
+
+def test_page_allocation_bounded():
+    cfg = small_config()
+    state = vg.create_state(cfg)
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    state = vg.integrate_depth(state, cfg, jnp.asarray(depth), jnp.asarray(T),
+                               jnp.asarray(K))
+    state = vg.allocate_pages(state, cfg)
+    n = int(state.num_pages)
+    assert 0 < n <= cfg.max_feature_pages
+    # Re-allocation is idempotent.
+    state = vg.allocate_pages(state, cfg)
+    assert int(state.num_pages) == n
+
+
+def test_integrate_frame_recipe_and_persistence(tmp_path):
+    cfg = small_config(feature_dim=8)
+    mapper = Mapper.dual(cfg)
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    features = np.ones((128, 128, 8), dtype=np.float32)  # upscaled 2x
+    rgb = (np.ones((H, W, 3)) * 128).astype(np.uint8)
+    masks = integrate_frame(
+        mapper,
+        cfg,
+        depth,
+        features,
+        K,
+        T,
+        rgb,
+        input_mask=np.ones((H, W), dtype=bool),
+        input_mask_erosion_iterations=1,
+        valid_depth_mask_erosion_iterations=1,
+        mapper_id=MapperId.STATIC,
+    )
+    assert masks["depth_mask"].shape == (H, W)
+    assert masks["feature_mask"].shape == (128, 128)
+    # Border masked out.
+    assert not masks["feature_mask"][0, 0]
+
+    path = str(tmp_path / "mesh.zst")
+    save_feature_mesh_to_disk(mapper, path)
+    from nvblox_mindmap_tpu.data.dataset import unpickle_zst
+
+    mesh = unpickle_zst(path)
+    assert mesh["channel_length"] == 8
+    assert mesh["vertices"].shape[0] == mesh["features"].shape[0]
+    assert mesh["vertices"].dtype == np.float16
+
+    # Map serialization roundtrip.
+    map_path = str(tmp_path / "map.nvblx.pkl")
+    mapper.save_map(map_path)
+    mapper2 = Mapper({MapperId.STATIC: cfg})
+    mapper2.load_from_file(map_path)
+    np.testing.assert_array_equal(
+        np.asarray(mapper.states[MapperId.STATIC].tsdf),
+        np.asarray(mapper2.states[MapperId.STATIC].tsdf),
+    )
+
+
+def test_dynamic_scene_decay_and_remap():
+    """Spatial memory: a moved wall is forgotten and re-observed."""
+    cfg = small_config()
+    state = vg.create_state(cfg)
+    K, T, H, W = camera()
+    near_wall = np.full((H, W), 0.9, dtype=np.float32)
+    far_wall = np.full((H, W), 1.2, dtype=np.float32)
+    state = vg.integrate_depth(state, cfg, jnp.asarray(near_wall), jnp.asarray(T),
+                               jnp.asarray(K))
+    # Move the wall; decay + integrate repeatedly.
+    for _ in range(60):
+        state = vg.decay(state, cfg)
+        state = vg.integrate_depth(state, cfg, jnp.asarray(far_wall),
+                                   jnp.asarray(T), jnp.asarray(K))
+    X, Y, Z = cfg.grid_shape
+    cx, cy = X // 2, Y // 2
+    zs = np.asarray(vg.voxel_centers_flat(cfg)).reshape(X, Y, Z, 3)[cx, cy, :, 2]
+    tsdf = np.asarray(state.tsdf)[cx, cy]
+    w = np.asarray(state.weight)[cx, cy]
+    # Old wall location now reads as free space (positive tsdf).
+    old = np.abs(zs - 0.9) < cfg.voxel_size_m
+    assert np.all(tsdf[old & (w > 0)] > cfg.voxel_size_m)
+    # New wall location has a surface.
+    new = np.abs(zs - 1.2) < cfg.voxel_size_m
+    assert np.any(np.abs(tsdf[new & (w > 0)]) < cfg.voxel_size_m)
