@@ -63,10 +63,15 @@ def main():
         ),
         "vertices_valid_mask": jnp.ones((B, NV), dtype=bool),
     }
-    prepared = prepare_inputs(batch, bounds, cfg)
     noisy = jnp.zeros((B, 1, 1, 9))
     ts = jnp.zeros((B,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+
+    @jax.jit
+    def init_fn(key, raw_batch):
+        prepared = prepare_inputs(raw_batch, bounds, cfg)
+        return model.init(key, prepared, noisy, ts)
+
+    variables = init_fn(jax.random.PRNGKey(0), batch)
 
     @jax.jit
     def predict(params, batch, key):
