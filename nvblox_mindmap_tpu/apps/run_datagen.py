@@ -1,0 +1,165 @@
+"""Datagen app: fuse recorded RGB-D episodes into per-frame feature meshes.
+
+(reference: mindmap/run_isaaclab_datagen.py) The reference replays HDF5 demos
+inside Isaac Lab and fuses nvblox maps as it goes. The simulator is an
+external CUDA application; this framework's datagen boundary is the recorded
+frame stream (<idx>.<cam>_{rgb.png,depth.png,pose.npy,intrinsics.npy} +
+robot_state.npy, produced by the sim-side writer). This app runs the fusion
+half: per frame decay -> feature extraction -> TSDF/feature integration ->
+``<idx>.nvblox_vertex_features.zst`` export, matching the training dataset
+format bit-for-bit.
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+
+import numpy as np
+
+from nvblox_mindmap_tpu.closed_loop.environment import ReplayEnvironment
+from nvblox_mindmap_tpu.closed_loop.policies import _pose7_to_matrix
+from nvblox_mindmap_tpu.data.dataset import get_demo_paths
+from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
+from nvblox_mindmap_tpu.embodiments.registry import make_embodiment_for_task
+from nvblox_mindmap_tpu.mapping.constants import MapperId, MappingConfig
+from nvblox_mindmap_tpu.mapping.mapper import (
+    Mapper,
+    integrate_frame,
+    save_feature_mesh_to_disk,
+)
+from nvblox_mindmap_tpu.models.feature_extractors import get_feature_dim
+from nvblox_mindmap_tpu.utils.config import DataGenAppArgs, parse_args
+from nvblox_mindmap_tpu.utils.timers import Timer, timer_status_string
+
+logger = logging.getLogger("nvblox_mindmap_tpu.run_datagen")
+
+
+def process_demo(
+    demo_path: str,
+    embodiment,
+    mapping_config: MappingConfig,
+    feature_fn,
+    save_serialized_map: bool = False,
+    max_num_steps: int = -1,
+):
+    """Fuse one demo's frames; write per-frame feature meshes."""
+    prefixes = (
+        ["wrist"] if embodiment.embodiment_type == EmbodimentType.ARM else ["pov"]
+    )
+    env = ReplayEnvironment(demo_path, embodiment, prefixes)
+    mapper = Mapper({MapperId.STATIC: mapping_config})
+    n = env.num_frames if max_num_steps < 0 else min(env.num_frames, max_num_steps)
+    env.reset()
+    for t in range(n):
+        env.t = t
+        with Timer("datagen/decay"):
+            mapper.decay()
+        for frame in env.get_cameras().values():
+            with Timer("datagen/compute_features"):
+                features = np.asarray(feature_fn(frame.rgb))
+            with Timer("datagen/integrate"):
+                integrate_frame(
+                    mapper,
+                    mapping_config,
+                    frame.depth,
+                    features,
+                    frame.intrinsics,
+                    _pose7_to_matrix(frame.pose7),
+                    frame.rgb,
+                    input_mask=np.ones(frame.depth.shape, dtype=bool),
+                    input_mask_erosion_iterations=(
+                        mapping_config.static_mask_erosion_iterations
+                    ),
+                    valid_depth_mask_erosion_iterations=(
+                        mapping_config.valid_depth_mask_erosion_iterations
+                    ),
+                    mapper_id=MapperId.STATIC,
+                )
+        with Timer("datagen/export_mesh"):
+            save_feature_mesh_to_disk(
+                mapper, os.path.join(demo_path, f"{t}.nvblox_vertex_features.zst")
+            )
+    if save_serialized_map:
+        mapper.save_map(os.path.join(demo_path, "map.nvblx.pkl"))
+    # Mark success if no outcome file exists yet.
+    outcome_path = os.path.join(demo_path, "demo_successful.npy")
+    if not os.path.exists(outcome_path):
+        np.save(outcome_path, np.asarray(1))
+    logger.info("Fused %d frames for %s", n, demo_path)
+
+
+def make_mapping_feature_fn(feature_type, upscaled_size):
+    """Jitted (H, W, 3) [0,1] -> upscaled (Hf, Wf, F) feature extractor."""
+    import jax
+
+    from nvblox_mindmap_tpu.models.feature_extractors import (
+        FeatureExtractorType,
+        make_feature_extractor,
+    )
+
+    if feature_type == FeatureExtractorType.RGB:
+
+        @jax.jit
+        def fn(rgb):
+            import jax.numpy as jnp
+
+            return jax.image.resize(
+                jnp.asarray(rgb)[None], (1, *upscaled_size, 3), method="bilinear"
+            )[0]
+
+        return fn
+
+    module = make_feature_extractor(feature_type, feature_image_size=(32, 32))
+    params = {}
+
+    @jax.jit
+    def fn(rgb, params):
+        import jax.numpy as jnp
+
+        feats = module.apply(params, jnp.asarray(rgb)[None])
+        return jax.image.resize(
+            feats, (1, *upscaled_size, feats.shape[-1]), method="bilinear"
+        )[0]
+
+    def wrapper(rgb):
+        nonlocal params
+        import jax
+
+        if not params:
+            params = module.init(jax.random.PRNGKey(0), np.zeros_like(rgb)[None])
+        return fn(rgb, params)
+
+    return wrapper
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(message)s")
+    args = parse_args(DataGenAppArgs, argv)
+    assert args.task is not None
+    dataset = args.output_dir or args.dataset
+    assert dataset is not None, "--output_dir or --dataset required"
+
+    embodiment = make_embodiment_for_task(args.task)
+    mapping_config = MappingConfig.for_task(
+        args.task,
+        feature_dim=get_feature_dim(args.feature_type),
+        voxel_size_m=args.voxel_size_m,
+    )
+    feature_fn = make_mapping_feature_fn(
+        args.feature_type, mapping_config.upscaled_feature_image_size
+    )
+    for demo_path in get_demo_paths(dataset, args.demos_datagen):
+        process_demo(
+            demo_path,
+            embodiment,
+            mapping_config,
+            feature_fn,
+            save_serialized_map=args.save_serialized_nvblox_map_to_disk,
+            max_num_steps=args.max_num_steps,
+        )
+    logger.info("\n%s", timer_status_string())
+
+
+if __name__ == "__main__":
+    main()

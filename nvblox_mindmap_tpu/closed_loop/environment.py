@@ -1,0 +1,210 @@
+"""The sim boundary: environment interface + hermetic test environments.
+
+Isaac Lab is a CUDA/x86-bound external simulator; the framework's boundary is
+an abstract environment interface (reference: the gym env +
+IsaacLabCameraHandler surface used by closed_loop/closed_loop_policy.py). A
+production deployment implements this interface as a client to a sim host;
+for tests and demo-replay validation we provide:
+
+- ``ReplayEnvironment``: plays back a recorded demo directory frame by frame
+  (cameras + robot states from disk), ignoring actions - the datagen/open-loop
+  boundary.
+- ``KinematicEnvironment``: a minimal kinematic world where the commanded
+  goal moves the end-effector with a bounded step - enough to exercise the
+  goal-reached / timeout / retry machinery of the closed-loop runner
+  end-to-end without a simulator.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nvblox_mindmap_tpu.closed_loop.goals import slerp
+from nvblox_mindmap_tpu.data.dataset import DemoDataset
+from nvblox_mindmap_tpu.embodiments.base import EmbodimentBase, EmbodimentType
+
+
+class CameraFrame:
+    """One camera observation (channel-last host arrays)."""
+
+    def __init__(self, rgb, depth, intrinsics, pose7):
+        self.rgb = rgb  # (H, W, 3) float [0,1]
+        self.depth = depth  # (H, W) float meters
+        self.intrinsics = intrinsics  # (3, 3)
+        self.pose7 = pose7  # (7,) pos + quat wxyz
+
+
+class EnvironmentBase:
+    """Abstract environment: the frame contract the policies consume."""
+
+    def reset(self) -> None:
+        raise NotImplementedError
+
+    def step(self, goal_policy_state: Optional[np.ndarray]) -> None:
+        raise NotImplementedError
+
+    def get_robot_state(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def get_policy_state(self) -> np.ndarray:
+        """Current policy-state codec (pose + estimated closedness)."""
+        raise NotImplementedError
+
+    def get_cameras(self) -> Dict[str, CameraFrame]:
+        raise NotImplementedError
+
+    def is_success(self) -> bool:
+        raise NotImplementedError
+
+    @property
+    def done(self) -> bool:
+        return False
+
+
+class ReplayEnvironment(EnvironmentBase):
+    """Replays a recorded demo dir; actions are ignored."""
+
+    def __init__(self, demo_path: str, embodiment: EmbodimentBase,
+                 camera_prefixes: List[str]):
+        import glob
+
+        import imageio.v2 as imageio
+
+        self.embodiment = embodiment
+        self.camera_prefixes = camera_prefixes
+        self._demo_path = demo_path
+        files = sorted(
+            glob.glob(os.path.join(demo_path, "*.robot_state.npy")),
+            key=lambda p: int(os.path.basename(p).split(".")[0]),
+        )
+        self.robot_states = np.stack(
+            [np.load(p, allow_pickle=True) for p in files]
+        ).astype(np.float32)
+        self.policy_states = embodiment.policy_states_from_robot_states(
+            self.robot_states, use_keyposes=False
+        )
+        self.num_frames = len(self.robot_states)
+        self._imread = imageio.imread
+        self.t = 0
+
+    def reset(self) -> None:
+        self.t = 0
+
+    def step(self, goal_policy_state=None) -> None:
+        self.t = min(self.t + 1, self.num_frames - 1)
+
+    @property
+    def done(self) -> bool:
+        return self.t >= self.num_frames - 1
+
+    def get_robot_state(self) -> np.ndarray:
+        return self.robot_states[self.t]
+
+    def get_policy_state(self) -> np.ndarray:
+        return self.policy_states[self.t]
+
+    def get_cameras(self) -> Dict[str, CameraFrame]:
+        frames = {}
+        for prefix in self.camera_prefixes:
+            base = os.path.join(self._demo_path, f"{self.t}.{prefix}")
+            rgb = np.asarray(self._imread(base + "_rgb.png"), np.float32) / 255.0
+            depth = (
+                np.asarray(self._imread(base + "_depth.png"), np.float32) / 1000.0
+            )
+            intr = np.load(base + "_intrinsics.npy").astype(np.float32)
+            pose = np.load(base + "_pose.npy").astype(np.float32)
+            frames[prefix] = CameraFrame(rgb, depth, intr, pose)
+        return frames
+
+    def is_success(self) -> bool:
+        return self.done
+
+
+class KinematicEnvironment(EnvironmentBase):
+    """Kinematic point-robot world for hermetic closed-loop tests.
+
+    The end-effector moves toward the commanded goal with a bounded step;
+    cameras render a synthetic flat scene. Success = the eef having visited
+    (within tolerance) all task waypoints.
+    """
+
+    def __init__(
+        self,
+        embodiment: EmbodimentBase,
+        initial_state: np.ndarray,
+        waypoints: List[np.ndarray],
+        max_step_m: float = 0.05,
+        waypoint_tolerance_m: float = 0.02,
+        image_size: int = 32,
+    ):
+        self.embodiment = embodiment
+        self.initial_state = np.array(initial_state, dtype=np.float32)
+        self.waypoints = [np.asarray(w, dtype=np.float32) for w in waypoints]
+        self.max_step_m = max_step_m
+        self.tol = waypoint_tolerance_m
+        self.image_size = image_size
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = np.array(self.initial_state, copy=True)
+        self.visited = [False] * len(self.waypoints)
+        self.steps = 0
+
+    def _move_pose(self, pose_slice, goal_pose):
+        pos = self.state[pose_slice][:3]
+        goal_pos = goal_pose[:3]
+        delta = goal_pos - pos
+        dist = np.linalg.norm(delta)
+        if dist > self.max_step_m:
+            delta = delta / dist * self.max_step_m
+        new_pos = pos + delta
+        t = min(1.0, self.max_step_m / max(dist, 1e-9))
+        new_quat = slerp(self.state[pose_slice][3:7], goal_pose[3:7], t)
+        self.state[pose_slice.start : pose_slice.start + 3] = new_pos
+        self.state[pose_slice.start + 3 : pose_slice.start + 7] = new_quat
+
+    def step(self, goal_policy_state: Optional[np.ndarray] = None) -> None:
+        self.steps += 1
+        if goal_policy_state is None:
+            return
+        goal = np.asarray(goal_policy_state, dtype=np.float32)
+        if self.embodiment.embodiment_type == EmbodimentType.ARM:
+            self._move_pose(slice(0, 7), goal[0:7])
+            self.state[7] = goal[7]
+        else:
+            self._move_pose(slice(0, 7), goal[0:7])
+            self.state[7] = goal[7]
+            self._move_pose(slice(8, 15), goal[8:15])
+            self.state[15] = goal[15]
+            self.state[16] += np.clip(goal[16] - self.state[16], -0.1, 0.1)
+        # Track waypoint visits (position of the (first) eef).
+        for i, w in enumerate(self.waypoints):
+            if not self.visited[i] and np.linalg.norm(self.state[:3] - w) < self.tol:
+                self.visited[i] = True
+
+    def get_robot_state(self) -> np.ndarray:
+        return np.array(self.state, copy=True)
+
+    def get_policy_state(self) -> np.ndarray:
+        """The kinematic world is ideal: robot state == policy state."""
+        return np.array(self.state, copy=True)
+
+    def get_cameras(self) -> Dict[str, CameraFrame]:
+        H = W = self.image_size
+        f = float(W)
+        rng = np.random.default_rng(self.steps)
+        rgb = rng.uniform(0, 1, size=(H, W, 3)).astype(np.float32)
+        depth = np.full((H, W), 1.0, dtype=np.float32)
+        intr = np.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+        pose = np.asarray([0, 0, 0.8, 1, 0, 0, 0], np.float32)
+        prefix = (
+            "wrist"
+            if self.embodiment.embodiment_type == EmbodimentType.ARM
+            else "pov"
+        )
+        return {prefix: CameraFrame(rgb, depth, intr, pose)}
+
+    def is_success(self) -> bool:
+        return all(self.visited)

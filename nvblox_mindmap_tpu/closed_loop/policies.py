@@ -1,0 +1,279 @@
+"""Closed-loop policies (reference: mindmap/closed_loop/policies/*).
+
+- ``NvbloxDiffuserActorPolicy``: the live policy - per sim step it decays the
+  mapper and fuses the current cameras (TSDF + deep features); on goal
+  request it assembles model inputs (mesh vertices / RGB-D point clouds +
+  gripper history) and runs the jitted reverse-diffusion sampler.
+- ``GroundTruthPolicy``: replays GT keyposes from a recorded demo (demo
+  validation / EXECUTE_GT_GOALS mode).
+"""
+from __future__ import annotations
+
+import collections
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvblox_mindmap_tpu.closed_loop.environment import EnvironmentBase
+from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+from nvblox_mindmap_tpu.data.vertex_sampling import (
+    VertexSamplingMethod,
+    sample_to_n_vertices,
+)
+from nvblox_mindmap_tpu.embodiments.base import EmbodimentBase, EmbodimentType
+from nvblox_mindmap_tpu.mapping.constants import MapperId, MappingConfig
+from nvblox_mindmap_tpu.mapping.mapper import (
+    Mapper,
+    get_vertices_and_features,
+    integrate_frame,
+)
+from nvblox_mindmap_tpu.models.diffuser_actor import (
+    DiffuserActor,
+    prepare_inputs,
+    sample_trajectory,
+)
+from nvblox_mindmap_tpu.ops.backprojection import get_camera_pointcloud
+
+
+class PolicyBase:
+    def step(self, env: EnvironmentBase) -> None:
+        """Called every sim step (e.g. map update)."""
+
+    def get_new_goal(self, env: EnvironmentBase) -> List[np.ndarray]:
+        """Return the next goal policy state(s)."""
+        raise NotImplementedError
+
+
+class GroundTruthPolicy(PolicyBase):
+    """Serves recorded keypose policy states in order."""
+
+    def __init__(self, keypose_policy_states: np.ndarray):
+        self.goals = list(np.asarray(keypose_policy_states))
+        self._next = 0
+
+    @classmethod
+    def from_demo(
+        cls,
+        demo_path: str,
+        embodiment: EmbodimentBase,
+        extra_keyposes_around_grasp_events,
+        keypose_detection_mode: KeyposeDetectionMode,
+    ) -> "GroundTruthPolicy":
+        import glob
+        import os
+
+        files = sorted(
+            glob.glob(os.path.join(demo_path, "*.robot_state.npy")),
+            key=lambda p: int(os.path.basename(p).split(".")[0]),
+        )
+        robot_states = np.stack([np.load(p, allow_pickle=True) for p in files]).astype(
+            np.float32
+        )
+        keyposes = embodiment.extract_keypose_indices(
+            robot_states, extra_keyposes_around_grasp_events, keypose_detection_mode
+        )
+        policy_states = embodiment.policy_states_from_robot_states(
+            robot_states, use_keyposes=True
+        )
+        return cls(policy_states[keyposes])
+
+    @property
+    def exhausted(self) -> bool:
+        return self._next >= len(self.goals)
+
+    def get_new_goal(self, env: EnvironmentBase) -> List[np.ndarray]:
+        if self.exhausted:
+            return []
+        goal = self.goals[self._next]
+        self._next += 1
+        return [goal]
+
+
+class NvbloxDiffuserActorPolicy(PolicyBase):
+    """Live mapping + diffusion policy (reference:
+    closed_loop/policies/nvblox_diffuser_actor_policy.py)."""
+
+    def __init__(
+        self,
+        model: DiffuserActor,
+        params,
+        embodiment: EmbodimentBase,
+        mapping_config: MappingConfig,
+        workspace_bounds: np.ndarray,
+        num_vertices_to_sample: int = 2048,
+        vertex_sampling_method: VertexSamplingMethod = (
+            VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT
+        ),
+        feature_fn=None,
+        num_history: int = 3,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.embodiment = embodiment
+        self.config = model.config
+        self.mapping_config = mapping_config
+        self.bounds = jnp.asarray(workspace_bounds, dtype=jnp.float32)
+        self.num_vertices_to_sample = num_vertices_to_sample
+        self.vertex_sampling_method = vertex_sampling_method
+        self.num_history = num_history
+        self.mapper = Mapper({MapperId.STATIC: mapping_config})
+        self.history: collections.deque = collections.deque(maxlen=num_history)
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._infer = None
+        # Feature extractor for mapping: (H, W, 3) [0,1] -> (h, w, F).
+        if feature_fn is None:
+            upscaled = mapping_config.upscaled_feature_image_size
+
+            def rgb_passthrough(rgb):
+                return jax.image.resize(
+                    jnp.asarray(rgb)[None], (1, *upscaled, 3), method="bilinear"
+                )[0]
+
+            feature_fn = jax.jit(rgb_passthrough)
+        self.feature_fn = feature_fn
+
+    # --- per-sim-step map update ---------------------------------------------
+    def step(self, env: EnvironmentBase) -> None:
+        self.mapper.decay()
+        for frame in env.get_cameras().values():
+            features = self.feature_fn(frame.rgb)
+            T_WC = _pose7_to_matrix(frame.pose7)
+            integrate_frame(
+                self.mapper,
+                self.mapping_config,
+                frame.depth,
+                features,
+                frame.intrinsics,
+                T_WC,
+                frame.rgb,
+                input_mask=np.ones(frame.depth.shape, dtype=bool),
+                input_mask_erosion_iterations=(
+                    self.mapping_config.static_mask_erosion_iterations
+                ),
+                valid_depth_mask_erosion_iterations=(
+                    self.mapping_config.valid_depth_mask_erosion_iterations
+                ),
+                mapper_id=MapperId.STATIC,
+            )
+        self.history.append(np.asarray(env.get_policy_state(), dtype=np.float32))
+
+    # --- inference -----------------------------------------------------------
+    def _model_inputs(self, env: EnvironmentBase) -> Dict:
+        batch: Dict = {
+            "gt_gripper_pred": None,
+            "gt_head_yaw": None,
+            "instruction": None,
+            "rgbs": None,
+            "pcds": None,
+            "pcd_valid_mask": None,
+            "vertices": None,
+            "vertex_features": None,
+            "vertices_valid_mask": None,
+        }
+        # Gripper history (pad with the oldest entry).
+        hist = list(self.history)
+        while len(hist) < self.num_history:
+            hist.insert(0, hist[0])
+        hist_arr = np.stack(hist[-self.num_history :])[None]  # (1, nhist, P)
+        batch["gripper_history"] = self.embodiment.split_gripper_tensor(hist_arr)
+
+        if self.config.data_type in ("mesh", "rgbd_and_mesh"):
+            self.mapper.update_feature_mesh(
+                MapperId.STATIC, max_vertices=max(self.num_vertices_to_sample, 4096)
+            )
+            vertices, features = get_vertices_and_features(self.mapper)
+            vertices, features, valid = sample_to_n_vertices(
+                vertices,
+                features,
+                self.num_vertices_to_sample,
+                self.vertex_sampling_method,
+                self._rng,
+            )
+            batch["vertices"] = vertices[None].astype(np.float32)
+            batch["vertex_features"] = features[None].astype(np.float32)
+            batch["vertices_valid_mask"] = valid[None]
+
+        if self.config.data_type in ("rgbd", "rgbd_and_mesh"):
+            rgbs, pcds, valids = [], [], []
+            for frame in env.get_cameras().values():
+                rgbs.append(frame.rgb)
+                pcd = np.asarray(
+                    get_camera_pointcloud(
+                        jnp.asarray(frame.intrinsics),
+                        jnp.asarray(frame.depth),
+                        jnp.asarray(frame.pose7[:3]),
+                        jnp.asarray(frame.pose7[3:]),
+                    )
+                )
+                pcds.append(pcd)
+                valids.append(frame.depth > 0)
+            batch["rgbs"] = np.stack(rgbs)[None]
+            batch["pcds"] = np.stack(pcds)[None]
+            batch["pcd_valid_mask"] = np.stack(valids)[None]
+        return batch
+
+    def get_new_goal(self, env: EnvironmentBase) -> List[np.ndarray]:
+        batch = self._model_inputs(env)
+        if self._infer is None:
+            model, bounds = self.model, self.bounds
+            cfg = self.config
+
+            @jax.jit
+            def infer(params, batch, key):
+                prepared = prepare_inputs(batch, bounds, cfg)
+                return sample_trajectory(model, {"params": params}, prepared, key,
+                                         bounds)
+
+            self._infer = infer
+        self._key, key = jax.random.split(self._key)
+        device_batch = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if x is not None else None,
+            batch,
+            is_leaf=lambda x: x is None,
+        )
+        traj, head_yaw, _ = jax.device_get(
+            self._infer(self.params, device_batch, key)
+        )
+        return trajectory_to_policy_states(
+            np.asarray(traj), None if head_yaw is None else np.asarray(head_yaw),
+            self.embodiment,
+        )
+
+
+def trajectory_to_policy_states(
+    traj: np.ndarray, head_yaw: Optional[np.ndarray], embodiment: EmbodimentBase
+) -> List[np.ndarray]:
+    """(1, L, G, 8) model output [+ head yaw] -> list of policy-state vectors.
+
+    Openness probability is binarized at 0.5 (the policy commands binary
+    grippers).
+    """
+    L = traj.shape[1]
+    goals = []
+    for i in range(L):
+        step = traj[0, i]  # (G, 8)
+        step = step.copy()
+        step[..., 7] = (step[..., 7] >= 0.5).astype(step.dtype)
+        if embodiment.embodiment_type == EmbodimentType.ARM:
+            goals.append(step[0])
+        else:
+            hy = 0.0 if head_yaw is None else float(head_yaw[0, i, 0])
+            goals.append(
+                np.concatenate([step[0], step[1], [hy]]).astype(np.float32)
+            )
+    return goals
+
+
+def _pose7_to_matrix(pose7: np.ndarray) -> np.ndarray:
+    from nvblox_mindmap_tpu.geometry.np_rotations import quat_to_matrix
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = quat_to_matrix(np.asarray(pose7[3:7], dtype=np.float64)).astype(
+        np.float32
+    )
+    T[:3, 3] = pose7[:3]
+    return T

@@ -129,7 +129,14 @@ class Trainer:
         self.config = trainer_config
         self.workspace_bounds = jnp.asarray(workspace_bounds, dtype=jnp.float32)
         self.model = DiffuserActor(model_config)
-        self.mesh = mesh if mesh is not None else make_data_mesh()
+        if mesh is None:
+            # Use the largest device count that divides the batch size so the
+            # leading-axis sharding is always valid.
+            n = len(jax.devices())
+            while n > 1 and trainer_config.batch_size % n != 0:
+                n -= 1
+            mesh = make_data_mesh(jax.devices()[:n])
+        self.mesh = mesh
         self._train_step = None
         self._eval_step = None
 

@@ -1,0 +1,164 @@
+"""Headless visualization: PLY point-cloud export, PCA coloring, image grids.
+
+TPU-host equivalent of the reference's Open3D Visualizer + wandb
+TensorVisualizer (reference: mindmap/visualization/*). Interactive 3D windows
+don't exist on a TPU pod host, so everything renders to files:
+
+- ``save_pointcloud_ply``: ASCII PLY with per-point colors (feature-PCA or
+  attention-weight colormaps) - loadable in any viewer.
+- ``TensorVisualizer``: register/set named tensors, dump them as PNG grids
+  (and to wandb when available and enabled).
+- ``VideoWriter``: mp4 via imageio.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from nvblox_mindmap_tpu.image.pca import PcaProjection, apply_pca_return_projection
+
+
+def save_pointcloud_ply(
+    path: str, points: np.ndarray, colors: Optional[np.ndarray] = None
+):
+    """Write an ASCII PLY of (N, 3) points with optional (N, 3) [0,1] colors."""
+    points = np.asarray(points, dtype=np.float32)
+    n = points.shape[0]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write(
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            )
+        f.write("end_header\n")
+        if colors is not None:
+            rgb = np.clip(np.asarray(colors) * 255, 0, 255).astype(np.uint8)
+            for p, c in zip(points, rgb):
+                f.write(f"{p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]}\n")
+        else:
+            for p in points:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def save_feature_pointcloud_ply(
+    path: str,
+    points: np.ndarray,
+    features: np.ndarray,
+    projection: Optional[PcaProjection] = None,
+) -> PcaProjection:
+    """PLY with feature-PCA colors; returns the projection for reuse."""
+    rgb, projection = apply_pca_return_projection(features, projection)
+    save_pointcloud_ply(path, points, rgb)
+    return projection
+
+
+def attention_to_colors(weights: np.ndarray, min_weight: float = 0.0) -> np.ndarray:
+    """(N,) attention weights -> (N, 3) heat colors (black -> red -> yellow)."""
+    w = np.asarray(weights, dtype=np.float64)
+    w = np.where(w < min_weight, 0.0, w)
+    if w.max() > 0:
+        w = w / w.max()
+    r = np.clip(2 * w, 0, 1)
+    g = np.clip(2 * w - 1, 0, 1)
+    return np.stack([r, g, np.zeros_like(w)], axis=-1).astype(np.float32)
+
+
+class TensorVisualizer:
+    """Named-tensor image logger (wandb-compatible, file-based fallback)."""
+
+    def __init__(self, output_dir: Optional[str] = None, use_wandb: bool = False):
+        self.output_dir = output_dir
+        self.use_wandb = use_wandb
+        self.enabled = False
+        self._registered: Dict[str, tuple] = {}
+        self._values: Dict[str, np.ndarray] = {}
+
+    def enable(self):
+        self.enabled = True
+
+    def disable(self):
+        self.enabled = False
+
+    def register_tensor(self, name: str, shape, nrow: int = 8):
+        self._registered[name] = (tuple(shape), nrow)
+
+    def set(self, name: str, value, value_range=None):
+        if not self.enabled:
+            return
+        value = np.asarray(value)
+        if value_range is not None:
+            lo, hi = float(value_range[0]), float(value_range[1])
+            value = (value - lo) / max(hi - lo, 1e-12)
+        self._values[name] = value
+
+    def _to_grid(self, value: np.ndarray, nrow: int) -> np.ndarray:
+        """(N, H, W[, C]) -> single tiled (H', W', 3) image in [0, 1]."""
+        if value.ndim == 3:
+            value = value[..., None]
+        if value.shape[-1] == 1:
+            value = np.repeat(value, 3, axis=-1)
+        n, h, w, c = value.shape
+        rows = (n + nrow - 1) // nrow
+        grid = np.zeros((rows * h, nrow * w, 3), dtype=np.float32)
+        for i in range(n):
+            r, col = divmod(i, nrow)
+            grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = value[i, ..., :3]
+        return np.clip(grid, 0, 1)
+
+    def flush(self, step: int, prefix: str = ""):
+        """Write all set tensors as PNG grids (and wandb images if enabled)."""
+        if not self._values:
+            return
+        for name, value in self._values.items():
+            nrow = self._registered.get(name, (None, 8))[1]
+            grid = self._to_grid(value, nrow)
+            if self.output_dir is not None:
+                import imageio.v2 as imageio
+
+                os.makedirs(self.output_dir, exist_ok=True)
+                imageio.imwrite(
+                    os.path.join(self.output_dir, f"{prefix}{name}_{step}.png"),
+                    (grid * 255).astype(np.uint8),
+                )
+            if self.use_wandb:
+                try:
+                    import wandb
+
+                    wandb.log({f"{prefix}{name}": wandb.Image(grid)}, step=step)
+                except Exception:
+                    pass
+        self._values.clear()
+
+
+class VideoWriter:
+    """Append frames; write an mp4 on close (reference: visualization.py:27)."""
+
+    def __init__(self, path: str, fps: int = 30):
+        self.path = path
+        self.fps = fps
+        self.frames = []
+
+    def add_frame(self, frame: np.ndarray):
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint8:
+            frame = np.clip(frame * 255, 0, 255).astype(np.uint8)
+        self.frames.append(frame)
+
+    def close(self):
+        if not self.frames:
+            return
+        import imageio.v2 as imageio
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        try:
+            imageio.mimwrite(self.path, self.frames, fps=self.fps)
+        except Exception:
+            # Fall back to per-frame PNGs if no video codec is available.
+            base, _ = os.path.splitext(self.path)
+            for i, frame in enumerate(self.frames):
+                imageio.imwrite(f"{base}_{i:05d}.png", frame)
+        self.frames = []

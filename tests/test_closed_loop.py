@@ -1,0 +1,192 @@
+"""Closed-loop stack: goals, GT policy on a kinematic env, live policy smoke."""
+import numpy as np
+import pytest
+
+import jax
+
+from nvblox_mindmap_tpu.closed_loop.environment import KinematicEnvironment
+from nvblox_mindmap_tpu.closed_loop.evaluators import BasicEvaluator
+from nvblox_mindmap_tpu.closed_loop.goals import (
+    add_intermediate_goals,
+    is_goal_reached,
+    slerp,
+)
+from nvblox_mindmap_tpu.closed_loop.policies import (
+    GroundTruthPolicy,
+    NvbloxDiffuserActorPolicy,
+    trajectory_to_policy_states,
+)
+from nvblox_mindmap_tpu.closed_loop.runner import (
+    ClosedLoopConfig,
+    run_closed_loop_policy,
+    run_one_episode,
+)
+from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+from nvblox_mindmap_tpu.embodiments.humanoid import HumanoidEmbodiment
+from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+
+
+def arm_state(pos, closed=0.0):
+    return np.asarray([*pos, 1.0, 0, 0, 0, closed], dtype=np.float32)
+
+
+def test_is_goal_reached_arm():
+    emb = ArmEmbodiment()
+    s = arm_state([0.1, 0.2, 0.3])
+    assert is_goal_reached(emb, s, s.copy())
+    far = arm_state([0.5, 0.2, 0.3])
+    assert not is_goal_reached(emb, s, far)
+    closed = arm_state([0.1, 0.2, 0.3], closed=1.0)
+    assert not is_goal_reached(emb, s, closed)
+
+
+def test_slerp_endpoints():
+    q1 = np.asarray([1.0, 0, 0, 0])
+    q2 = np.asarray([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)])
+    np.testing.assert_allclose(slerp(q1, q2, 0.0), q1, atol=1e-6)
+    np.testing.assert_allclose(slerp(q1, q2, 1.0), q2, atol=1e-6)
+    mid = slerp(q1, q2, 0.5)
+    np.testing.assert_allclose(np.linalg.norm(mid), 1.0, atol=1e-6)
+
+
+def humanoid_state(lpos, rpos, head=0.0):
+    return np.asarray(
+        [*lpos, 1, 0, 0, 0, 0.0, *rpos, 1, 0, 0, 0, 0.0, head], dtype=np.float32
+    )
+
+
+def test_intermediate_goals_humanoid():
+    emb = HumanoidEmbodiment()
+    current = humanoid_state([0, 0, 0], [0, 0.2, 0])
+    goal = humanoid_state([0.5, 0, 0], [0.5, 0.2, 0], head=0.3)
+    goals, flags = add_intermediate_goals(emb, current, [goal], 0.1)
+    assert len(goals) > 2
+    assert flags[-1] is False and all(flags[:-1])
+    # Intermediates interpolate position monotonically.
+    xs = [g[0] for g in goals]
+    assert all(b > a for a, b in zip(xs, xs[1:]))
+    np.testing.assert_allclose(goals[-1], goal)
+
+
+def test_gt_policy_reaches_waypoints_in_kinematic_env():
+    emb = ArmEmbodiment()
+    waypoints = [np.asarray([0.3, 0.0, 0.3]), np.asarray([0.5, 0.2, 0.4])]
+    env = KinematicEnvironment(
+        emb,
+        initial_state=arm_state([0.0, 0.0, 0.3]),
+        waypoints=waypoints,
+        max_step_m=0.05,
+    )
+    gt_goals = [arm_state(w) for w in waypoints]
+    policy = GroundTruthPolicy(np.stack(gt_goals))
+    evaluator = BasicEvaluator()
+    evaluator.start_demo("demo_0")
+    success = run_one_episode(
+        env, policy, emb, evaluator, ClosedLoopConfig(max_num_steps=100)
+    )
+    assert success
+    assert evaluator.finalize_demo("demo_0")
+
+
+def test_runner_with_retries_and_summary(tmp_path):
+    emb = ArmEmbodiment()
+    waypoints = [np.asarray([0.3, 0.0, 0.3])]
+
+    def make_env(name):
+        return KinematicEnvironment(
+            emb, arm_state([0, 0, 0.3]), waypoints, max_step_m=0.05
+        )
+
+    def make_policy(name):
+        return GroundTruthPolicy(np.stack([arm_state(w) for w in waypoints]))
+
+    evaluator = BasicEvaluator()
+    eval_path = str(tmp_path / "eval.json")
+    summary = run_closed_loop_policy(
+        make_env,
+        make_policy,
+        emb,
+        evaluator,
+        demo_names=["demo_0", "demo_1"],
+        config=ClosedLoopConfig(max_num_steps=100, num_retries=2),
+        eval_file_path=eval_path,
+    )
+    assert summary["success_rate"] == 1.0
+    import json
+
+    assert json.load(open(eval_path))["num_demos"] == 2
+
+
+def test_trajectory_to_policy_states_humanoid():
+    traj = np.zeros((1, 1, 2, 8), dtype=np.float32)
+    traj[0, 0, :, 3] = 1.0  # unit quats
+    traj[0, 0, 0, 7] = 0.9  # left closed
+    traj[0, 0, 1, 7] = 0.2  # right open
+    head_yaw = np.full((1, 1, 1), 0.25, dtype=np.float32)
+    goals = trajectory_to_policy_states(traj, head_yaw, HumanoidEmbodiment())
+    assert goals[0].shape == (17,)
+    assert goals[0][7] == 1.0 and goals[0][15] == 0.0
+    np.testing.assert_allclose(goals[0][16], 0.25)
+
+
+@pytest.mark.slow
+def test_live_policy_smoke():
+    """NvbloxDiffuserActorPolicy on the kinematic env: fuse + predict."""
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+    from nvblox_mindmap_tpu.training.trainer import (
+        Trainer,
+        TrainerConfig,
+        make_train_batch_template,
+    )
+
+    emb = ArmEmbodiment()
+    bounds = np.asarray([[-1.0, -1.0, -0.5], [1.5, 1.0, 1.5]], dtype=np.float32)
+    cfg = DiffuserActorConfig(
+        embedding_dim=24,
+        num_attn_heads=4,
+        data_type="mesh",
+        feature_type=FeatureExtractorType.RGB,
+        diffusion_timesteps=3,
+        fps_subsampling_factor=4,
+    )
+    mapping_cfg = MappingConfig(
+        voxel_size_m=0.05,
+        aabb_min_m=(-1.0, -1.0, -0.5),
+        aabb_max_m=(1.5, 1.0, 1.5),
+        min_integration_distance_m=0.05,
+        feature_dim=3,
+        max_feature_pages=256,
+        static_mask_erosion_iterations=1,
+        valid_depth_mask_erosion_iterations=1,
+        upscaled_feature_image_size=(32, 32),
+    )
+    trainer = Trainer(cfg, TrainerConfig(batch_size=1, save_checkpoint=False), bounds)
+    template = make_train_batch_template(cfg, batch_size=1, n_vertices=64,
+                                         feature_dim=3)
+    params, _ = trainer.init_state(template)
+
+    policy = NvbloxDiffuserActorPolicy(
+        DiffuserActor(cfg),
+        params,
+        emb,
+        mapping_cfg,
+        bounds,
+        num_vertices_to_sample=64,
+    )
+    env = KinematicEnvironment(
+        emb, arm_state([0, 0, 0.3]), [np.asarray([0.3, 0, 0.3])], max_step_m=0.05
+    )
+    env.reset()
+    for _ in range(3):
+        policy.step(env)
+    goals = policy.get_new_goal(env)
+    assert len(goals) == 1
+    g = goals[0]
+    assert g.shape == (8,)
+    assert np.all(np.isfinite(g))
+    # Prediction lies in the workspace bounds.
+    assert np.all(g[:3] >= bounds[0] - 1e-3) and np.all(g[:3] <= bounds[1] + 1e-3)

@@ -1,0 +1,72 @@
+"""E2E smoke: training app on a synthetic dataset -> checkpoint -> open loop.
+
+Mirrors the reference e2e chain (reference: tests/test_e2e.py) minus the
+Isaac Lab sim stages: dataset -> 6-iter training -> checkpoint reload ->
+open-loop inference with metrics.
+"""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data_pipeline import write_arm_demo
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_dataset")
+    write_arm_demo(str(root / "demo_00000"), seed=0)
+    write_arm_demo(str(root / "demo_00001"), seed=1)
+    return str(root)
+
+
+def small_train_argv(dataset_dir, log_dir):
+    return [
+        "--dataset", dataset_dir,
+        "--task", "cube_stacking",
+        "--data_type", "mesh",
+        "--feature_type", "rgb",
+        "--demos_train", "0-1",
+        "--embedding_dim", "24",
+        "--diffusion_timesteps", "5",
+        "--fps_subsampling_factor", "4",
+        "--num_vertices_to_sample", "64",
+        "--batch_size", "4",
+        "--batch_size_val", "4",
+        "--train_iters", "6",
+        "--val_freq", "3",
+        "--num_batches_per_test_eval", "1",
+        "--skip_train_val", "1",
+        "--base_log_dir", log_dir,
+        "--seed", "0",
+    ]
+
+
+def test_training_app_e2e(dataset_dir, tmp_path):
+    from nvblox_mindmap_tpu.apps.run_training import main as train_main
+
+    log_dir = str(tmp_path / "logs")
+    train_main(small_train_argv(dataset_dir, log_dir))
+
+    ckpts = glob.glob(os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))
+    assert len(ckpts) == 1
+    ckpt_dir = os.path.dirname(ckpts[0])
+    assert os.path.isfile(os.path.join(ckpt_dir, "best.ckpt"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "training_args.json"))
+
+    # Open loop with the produced checkpoint (model args come from the frozen
+    # json, so CLI model params can be wrong/absent).
+    from nvblox_mindmap_tpu.apps.run_open_loop_policy import main as open_loop_main
+
+    means = open_loop_main(
+        [
+            "--dataset", dataset_dir,
+            "--task", "cube_stacking",
+            "--demos_open_loop", "0",
+            "--checkpoint", ckpts[0],
+            "--only_sample_keyposes", "1",
+        ]
+    )
+    assert "distance_m" in means
+    assert np.isfinite(means["distance_m"])
