@@ -1,0 +1,37 @@
+"""Datagen app: raw recorded frames -> fused per-frame feature meshes."""
+import glob
+import os
+
+import numpy as np
+
+from nvblox_mindmap_tpu.data.dataset import unpickle_zst
+from tests.test_data_pipeline import write_arm_demo
+
+
+def test_datagen_produces_feature_meshes(tmp_path):
+    # Raw demo (with rgb/depth/pose/intrinsics/robot_state but we overwrite
+    # the vertex features the fixture wrote, to prove datagen regenerates).
+    root = tmp_path / "raw"
+    demo = root / "demo_00000"
+    write_arm_demo(str(demo), seed=0)
+    for p in glob.glob(str(demo / "*.nvblox_vertex_features.zst")):
+        os.remove(p)
+
+    from nvblox_mindmap_tpu.apps.run_datagen import main as datagen_main
+
+    datagen_main(
+        [
+            "--task", "cube_stacking",
+            "--output_dir", str(root),
+            "--demos_datagen", "0",
+            "--feature_type", "rgb",
+            "--voxel_size_m", "0.04",
+            "--max_num_steps", "6",
+        ]
+    )
+    meshes = sorted(glob.glob(str(demo / "*.nvblox_vertex_features.zst")))
+    assert len(meshes) == 6
+    mesh = unpickle_zst(meshes[-1])
+    assert mesh["channel_length"] == 3  # RGB features
+    assert mesh["vertices"].dtype == np.float16
+    assert mesh["features"].shape[1] == 3

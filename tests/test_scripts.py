@@ -1,0 +1,82 @@
+"""Scripts: tar/untar, decompression benchmark, hdf5 tools, report, keyposes."""
+import json
+import os
+
+import numpy as np
+
+from tests.test_data_pipeline import write_arm_demo
+
+
+def test_tar_untar_roundtrip(tmp_path):
+    from nvblox_mindmap_tpu.scripts.tar_demos import tar_demos, untar_demos
+
+    src = tmp_path / "src"
+    write_arm_demo(str(src / "demo_00000"), seed=0)
+    tars = tar_demos(str(src), "0", str(tmp_path / "tars"))
+    assert len(tars) == 1 and os.path.exists(tars[0])
+    out = untar_demos(str(tmp_path / "tars"), str(tmp_path / "out"))
+    assert os.path.isdir(out[0])
+    assert os.path.exists(os.path.join(out[0], "demo_successful.npy"))
+
+
+def test_benchmark_decompression():
+    from nvblox_mindmap_tpu.scripts.benchmark_decompression import benchmark
+
+    results = benchmark(n_vertices=64, channels=8, levels=(1,), repeats=2)
+    assert results[1]["ratio"] > 0.9
+    assert results[1]["decode_ms"] > 0
+
+
+def test_hdf5_tools(tmp_path):
+    import h5py
+
+    from nvblox_mindmap_tpu.scripts.hdf5_tools import (
+        extract_single_demo,
+        list_demos,
+        merge_hdf5_files,
+    )
+
+    a = str(tmp_path / "a.hdf5")
+    with h5py.File(a, "w") as f:
+        data = f.create_group("data")
+        data.attrs["env_name"] = "test"
+        for i in range(3):
+            g = data.create_group(f"demo_{i}")
+            g.create_dataset("actions", data=np.full((5, 7), i, dtype=np.float32))
+    assert list_demos(a) == ["demo_0", "demo_1", "demo_2"]
+
+    single = str(tmp_path / "single.hdf5")
+    extract_single_demo(a, "demo_1", single)
+    with h5py.File(single) as f:
+        assert list(f["data"].keys()) == ["demo_0"]
+        np.testing.assert_allclose(f["data/demo_0/actions"][:], 1.0)
+
+    merged = str(tmp_path / "merged.hdf5")
+    merge_hdf5_files([a, single], merged)
+    assert len(list_demos(merged)) == 4
+
+
+def test_publish_report(tmp_path):
+    from nvblox_mindmap_tpu.scripts.publish_closed_loop_eval import render_report
+
+    eval_path = str(tmp_path / "eval.json")
+    json.dump(
+        {"num_demos": 2, "num_successes": 1, "success_rate": 0.5,
+         "outcomes": {"demo_0": True, "demo_1": False}},
+        open(eval_path, "w"),
+    )
+    out = render_report([eval_path], str(tmp_path / "report.html"))
+    html = open(out).read()
+    assert "50.00%" in html
+    assert "demo_0" in html
+
+
+def test_visualize_keyposes(tmp_path):
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.scripts.visualize_keyposes import export_keyposes
+
+    write_arm_demo(str(tmp_path / "demo_00000"), seed=0)
+    out = export_keyposes(str(tmp_path), "0", Tasks.CUBE_STACKING,
+                          str(tmp_path / "viz"))
+    assert len(out) == 1
+    assert "element vertex" in open(out[0]).read()
