@@ -1,14 +1,16 @@
-"""Benchmark: keypose-prediction latency on one TPU chip.
+"""Benchmark: keypose-prediction latency + RGB-D fusion rate on one TPU chip.
 
-Measures the p50 latency of a full DiffuserActor keypose prediction at the
-flagship configuration (2048 mesh vertices x 768-d features, 100 DDPM
-denoising steps, embedding dim 120) - the reference's inference hot path
-(reference: diffuser_actor.py conditional_sample, 100x DiffusionHead).
+1. Keypose prediction p50: full DiffuserActor inference at the flagship
+   configuration (2048 mesh vertices x 768-d features, 100 DDPM denoising
+   steps, embedding dim 120) - the reference's inference hot path
+   (reference: diffuser_actor.py conditional_sample, 100x DiffusionHead).
+   Target (BASELINE.md): < 100 ms per keypose.
+2. Fusion rate: one full mapper step (decay + TSDF depth integration +
+   768-d feature integration at 512x512, drill_in_box AABB at 1 cm voxels).
+   Target: >= 30 Hz.
 
-Target (BASELINE.md): < 100 ms per keypose on 1 TPU chip.
-vs_baseline = 100ms / measured_p50 (>1 means faster than target).
-
-Prints exactly one JSON line.
+Primary metric = keypose latency; vs_baseline = 100ms / p50 (>1 is faster
+than target). The fusion rate rides along in the same JSON line.
 """
 from __future__ import annotations
 
@@ -93,18 +95,79 @@ def main():
         jax.block_until_ready(predict(params, batch, key))
         times.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(times, 50) * 1000)
+    return p50_ms
 
-    print(
-        json.dumps(
-            {
-                "metric": "keypose_prediction_latency_p50",
-                "value": round(p50_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(100.0 / p50_ms, 3),
-            }
-        )
+
+def _bench_fusion_hz() -> float:
+    """Full mapper fusion step rate (decay + depth + 768-d features)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping import voxel_grid as vg
+    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+
+    cfg = MappingConfig.for_task(
+        Tasks.DRILL_IN_BOX, feature_dim=768, max_feature_pages=1024
     )
+    state = vg.create_state(cfg)
+    rng = np.random.default_rng(0)
+    H = W = 256
+    depth = jnp.asarray(rng.uniform(0.5, 2.0, (H, W)), dtype=jnp.float32)
+    T = jnp.eye(4)
+    K = jnp.asarray([[200.0, 0, 128], [0, 200.0, 128], [0, 0, 1]])
+    feat = jnp.asarray(rng.normal(size=(512, 512, 768)), dtype=jnp.float16)
+    fK = jnp.asarray([[400.0, 0, 256], [0, 400.0, 256], [0, 0, 1]])
+
+    def fuse(state):
+        # Production path: one fused XLA program per frame.
+        return vg.fuse_frame(state, cfg, depth, feat, T, K, fK)
+
+    state = fuse(state)  # warmup/compile
+    jax.block_until_ready(state.tsdf)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state = fuse(state)
+    jax.block_until_ready(state.tsdf)
+    return n / (time.perf_counter() - t0)
+
+
+def _run_in_subprocess(what: str) -> float:
+    """Run one measurement in a clean process (device state isolation)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--measure", what],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--measure" in sys.argv:
+        what = sys.argv[sys.argv.index("--measure") + 1]
+        if what == "keypose":
+            print(main())
+        else:
+            print(_bench_fusion_hz())
+    else:
+        p50_ms = _run_in_subprocess("keypose")
+        fusion_hz = _run_in_subprocess("fusion")
+        print(
+            json.dumps(
+                {
+                    "metric": "keypose_prediction_latency_p50",
+                    "value": round(p50_ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": round(100.0 / p50_ms, 3),
+                    "fusion_hz": round(fusion_hz, 1),
+                    "fusion_hz_vs_target": round(fusion_hz / 30.0, 2),
+                }
+            )
+        )

@@ -33,8 +33,8 @@ from nvblox_mindmap_tpu.utils.config import (
 logger = logging.getLogger("nvblox_mindmap_tpu.run_open_loop_policy")
 
 
-def run_inference(model, params, batch: Dict, bounds, key) -> Dict[str, np.ndarray]:
-    """One inference call + metrics vs the GT keypose (jitted)."""
+def make_infer_fn(model, bounds):
+    """Build the jitted inference function ONCE (compile caches per shape)."""
     cfg = model.config
 
     @jax.jit
@@ -45,6 +45,13 @@ def run_inference(model, params, batch: Dict, bounds, key) -> Dict[str, np.ndarr
         )
         return traj, head_yaw, weights
 
+    return infer
+
+
+def run_inference(infer, model, params, batch: Dict, bounds, key
+                  ) -> Dict[str, np.ndarray]:
+    """One inference call + metrics vs the GT keypose."""
+    cfg = model.config
     traj, head_yaw, weights = infer(params, batch, key)
     gt = jnp.concatenate(
         [batch["gt_gripper_pred"][..., :7], batch["gt_gripper_pred"][..., 7:]], axis=-1
@@ -113,9 +120,10 @@ def main(argv=None):
 
     metric_sums: Dict[str, np.ndarray] = {}
     count = 0
+    infer = make_infer_fn(model, bounds)
     for i, batch in enumerate(loader):
         result = run_inference(
-            model, params, _to_device(batch), bounds, jax.random.PRNGKey(i)
+            infer, model, params, _to_device(batch), bounds, jax.random.PRNGKey(i)
         )
         for k, v in result["metrics"].items():
             metric_sums[k] = metric_sums.get(k, 0.0) + v

@@ -11,10 +11,14 @@ mapping/helpers/nvblox_mapping_helpers.py:79-261). Design:
 - Per-voxel deep features (e.g. 768-d) are too big dense, so they live in a
   **block-paged pool** mirroring nvblox's 8^3 voxel blocks: an int32 page
   table over the block grid plus a (P, 512, F) fp16 page pool. Pages are
-  allocated for blocks that contain near-surface voxels inside the camera
-  frustum; allocation is a cumsum over the block grid (no host sync).
-- All ops are pure: state in, state out; everything jits, so a fusion step
-  (depth + feature + decay) compiles to one XLA program.
+  allocated for blocks that contain near-surface voxels; allocation is a
+  cumsum over the block grid (no host sync).
+- All ops are pure: state in, state out; everything jits.
+
+Performance note: each jitted kernel takes ONLY the state leaves it actually
+touches, with donation on the mutated ones. Funneling the whole state pytree
+through every op would force the runtime to shuttle the (hundreds of MB)
+feature pool across each call boundary even for a TSDF-only update.
 
 Shapes are static; the voxel grid shape comes from MappingConfig.grid_shape.
 """
@@ -99,7 +103,7 @@ def _project(
     return u, v, z
 
 
-def _bilinear_or_nearest_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+def _nearest_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """Nearest-neighbor gather of img (H, W[, C]) at float pixel coords."""
     H, W = img.shape[:2]
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
@@ -112,7 +116,41 @@ def _bilinear_or_nearest_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
 # -----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("config", "has_mask"), donate_argnums=(0, 1))
+def _integrate_depth_jit(
+    tsdf, weight, depth, T_WC, K, mask, config: MappingConfig, has_mask: bool
+):
+    X, Y, Z = config.grid_shape
+    trunc = config.truncation_distance_m
+    centers = voxel_centers_flat(config)
+    u, v, z = _project(centers, T_WC, K)
+
+    H, W = depth.shape
+    in_image = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    surf, ui, vi = _nearest_gather(depth, u, v)
+    surf = jnp.nan_to_num(surf, nan=0.0, posinf=0.0, neginf=0.0)
+    pixel_ok = surf > 0
+    if has_mask:
+        pixel_ok &= mask[vi, ui]
+    depth_ok = (
+        (z > config.min_integration_distance_m)
+        & (z < config.projective_integrator_max_integration_distance_m)
+    )
+    sdf = surf - z
+    update = in_image & pixel_ok & depth_ok & (sdf > -trunc)
+    sdf = jnp.clip(sdf, -trunc, trunc)
+
+    w_old = weight.reshape(-1)
+    tsdf_old = tsdf.reshape(-1)
+    w_meas = jnp.where(update, 1.0, 0.0)
+    w_new = w_old + w_meas
+    safe_w = jnp.where(w_new > 0, w_new, 1.0)
+    tsdf_new = (tsdf_old * w_old + sdf * w_meas) / safe_w
+    tsdf_new = jnp.where(update, tsdf_new, tsdf_old)
+    w_new = jnp.minimum(w_new, config.max_tsdf_weight)
+    return tsdf_new.reshape(X, Y, Z), w_new.reshape(X, Y, Z)
+
+
 def integrate_depth(
     state: VoxelGridState,
     config: MappingConfig,
@@ -129,53 +167,29 @@ def integrate_depth(
         K: (3, 3) intrinsics for the depth image resolution.
         mask: optional (H, W) bool; False pixels are not integrated.
     """
-    X, Y, Z = config.grid_shape
-    trunc = config.truncation_distance_m
-    centers = voxel_centers_flat(config)
-    u, v, z = _project(centers, T_WC, K)
-
-    H, W = depth.shape
-    in_image = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
-    surf, ui, vi = _bilinear_or_nearest_gather(depth, u, v)
-    surf = jnp.nan_to_num(surf, nan=0.0, posinf=0.0, neginf=0.0)
-    pixel_ok = surf > 0
-    if mask is not None:
-        pixel_ok &= mask[vi, ui]
-    depth_ok = (
-        (z > config.min_integration_distance_m)
-        & (z < config.projective_integrator_max_integration_distance_m)
+    has_mask = mask is not None
+    mask_arg = mask if has_mask else jnp.zeros((1, 1), dtype=bool)
+    tsdf, weight = _integrate_depth_jit(
+        state.tsdf, state.weight, depth, T_WC, K, mask_arg, config, has_mask
     )
-    sdf = surf - z
-    update = in_image & pixel_ok & depth_ok & (sdf > -trunc)
-    sdf = jnp.clip(sdf, -trunc, trunc)
+    return dataclasses.replace(state, tsdf=tsdf, weight=weight)
 
-    w_old = state.weight.reshape(-1)
-    tsdf_old = state.tsdf.reshape(-1)
-    w_meas = jnp.where(update, 1.0, 0.0)
-    w_new = w_old + w_meas
-    safe_w = jnp.where(w_new > 0, w_new, 1.0)
-    tsdf_new = (tsdf_old * w_old + sdf * w_meas) / safe_w
-    tsdf_new = jnp.where(update, tsdf_new, tsdf_old)
-    w_new = jnp.minimum(w_new, config.max_tsdf_weight)
 
-    return dataclasses.replace(
-        state,
-        tsdf=tsdf_new.reshape(X, Y, Z),
-        weight=w_new.reshape(X, Y, Z),
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0, 1))
+def _decay_jit(tsdf, weight, config: MappingConfig):
+    w = weight * config.tsdf_decay_factor
+    dead = w < 1e-2
+    return (
+        jnp.where(dead, config.truncation_distance_m, tsdf),
+        jnp.where(dead, 0.0, w),
     )
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def decay(state: VoxelGridState, config: MappingConfig) -> VoxelGridState:
     """Multiplicative TSDF-weight decay; fully decayed voxels become
     unobserved (reference: mapper.decay() each sim step)."""
-    w = state.weight * config.tsdf_decay_factor
-    dead = w < 1e-2
-    return dataclasses.replace(
-        state,
-        weight=jnp.where(dead, 0.0, w),
-        tsdf=jnp.where(dead, config.truncation_distance_m, state.tsdf),
-    )
+    tsdf, weight = _decay_jit(state.tsdf, state.weight, config)
+    return dataclasses.replace(state, tsdf=tsdf, weight=weight)
 
 
 # -----------------------------------------------------------------------------
@@ -183,101 +197,111 @@ def decay(state: VoxelGridState, config: MappingConfig) -> VoxelGridState:
 # -----------------------------------------------------------------------------
 
 
-def _near_surface_blocks(state: VoxelGridState, config: MappingConfig) -> jnp.ndarray:
-    """(BX, BY, BZ) bool: block contains an observed near-surface voxel."""
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(2, 3, 4))
+def _allocate_pages_jit(tsdf, weight, page_table, page_to_block, num_pages,
+                        config: MappingConfig):
     b = config.block_size
     BX, BY, BZ = config.block_grid_shape
-    near = (jnp.abs(state.tsdf) < config.truncation_distance_m * 0.75) & (
-        state.weight > 0
+    near = (jnp.abs(tsdf) < config.truncation_distance_m * 0.75) & (weight > 0)
+    active = jnp.any(near.reshape(BX, b, BY, b, BZ, b), axis=(1, 3, 5))
+
+    flat_active = active.reshape(-1)
+    flat_table = page_table.reshape(-1)
+    needs = flat_active & (flat_table < 0)
+    order = jnp.cumsum(needs.astype(jnp.int32)) - 1  # alloc rank per block
+    new_page = num_pages + order
+    can_alloc = needs & (new_page < config.max_feature_pages)
+    flat_table = jnp.where(can_alloc, new_page, flat_table)
+    num_new = jnp.sum(can_alloc.astype(jnp.int32))
+
+    block_ids = jnp.arange(flat_table.shape[0], dtype=jnp.int32)
+    page_to_block = page_to_block.at[
+        jnp.where(can_alloc, new_page, config.max_feature_pages)
+    ].set(jnp.where(can_alloc, block_ids, -1), mode="drop")
+
+    return (
+        flat_table.reshape(BX, BY, BZ),
+        page_to_block,
+        num_pages + num_new,
     )
-    view = near.reshape(BX, b, BY, b, BZ, b)
-    return jnp.any(view, axis=(1, 3, 5))
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def allocate_pages(state: VoxelGridState, config: MappingConfig) -> VoxelGridState:
     """Assign pool pages to near-surface blocks that lack one.
 
     Deterministic cumsum allocation; silently stops allocating when the pool
     is exhausted (callers can size max_feature_pages per task).
     """
-    active = _near_surface_blocks(state, config)
-    flat_active = active.reshape(-1)
-    flat_table = state.page_table.reshape(-1)
-    needs = flat_active & (flat_table < 0)
-    order = jnp.cumsum(needs.astype(jnp.int32)) - 1  # alloc rank per block
-    new_page = state.num_pages + order
-    can_alloc = needs & (new_page < config.max_feature_pages)
-    flat_table = jnp.where(can_alloc, new_page, flat_table)
-    num_new = jnp.sum(can_alloc.astype(jnp.int32))
-
-    # Inverse mapping page -> flat block index.
-    block_ids = jnp.arange(flat_table.shape[0], dtype=jnp.int32)
-    page_to_block = state.page_to_block
-    # Scatter: for blocks just allocated, page_to_block[new_page] = block_id.
-    page_to_block = page_to_block.at[
-        jnp.where(can_alloc, new_page, config.max_feature_pages)
-    ].set(jnp.where(can_alloc, block_ids, -1), mode="drop")
-
+    page_table, page_to_block, num_pages = _allocate_pages_jit(
+        state.tsdf, state.weight, state.page_table, state.page_to_block,
+        state.num_pages, config,
+    )
     return dataclasses.replace(
         state,
-        page_table=flat_table.reshape(state.page_table.shape),
+        page_table=page_table,
         page_to_block=page_to_block,
-        num_pages=state.num_pages + num_new,
+        num_pages=num_pages,
     )
 
 
-def _page_voxel_centers(
-    state: VoxelGridState, config: MappingConfig
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """World centers of every voxel of every page: (P, B^3, 3) + page valid."""
+def _page_voxel_coords(page_to_block: jnp.ndarray, config: MappingConfig):
+    """Per-page voxel integer coords (P, B^3, 3) + page-valid mask (P,)."""
     b = config.block_size
     BX, BY, BZ = config.block_grid_shape
-    blk = state.page_to_block  # (P,)
-    valid = blk >= 0
-    safe = jnp.maximum(blk, 0)
+    valid = page_to_block >= 0
+    safe = jnp.maximum(page_to_block, 0)
     bx = safe // (BY * BZ)
     by = (safe // BZ) % BY
     bz = safe % BZ
-    base = jnp.stack([bx, by, bz], axis=-1).astype(jnp.float32) * b  # (P, 3)
-
-    r = jnp.arange(b, dtype=jnp.float32)
+    base = jnp.stack([bx, by, bz], axis=-1) * b  # (P, 3)
+    r = jnp.arange(b, dtype=jnp.int32)
     ox, oy, oz = jnp.meshgrid(r, r, r, indexing="ij")
     offsets = jnp.stack([ox, oy, oz], axis=-1).reshape(-1, 3)  # (B^3, 3)
-
-    idx = base[:, None, :] + offsets[None, :, :]
-    origin = jnp.asarray(config.aabb_min_m, dtype=jnp.float32)
-    return origin + (idx + 0.5) * config.voxel_size_m, valid
+    return base[:, None, :] + offsets[None, :, :], valid
 
 
-def _integrate_pool(
-    pool: jnp.ndarray,
-    pool_weight: jnp.ndarray,
-    state: VoxelGridState,
+@partial(
+    jax.jit,
+    static_argnames=("config", "has_mask", "measurement_weight"),
+    donate_argnums=(0, 1),
+)
+def _integrate_pool_jit(
+    pool,
+    pool_weight,
+    page_to_block,
+    tsdf,
+    weight,
+    image,
+    T_WC,
+    K,
+    mask,
     config: MappingConfig,
-    image: jnp.ndarray,
-    T_WC: jnp.ndarray,
-    K: jnp.ndarray,
-    mask: Optional[jnp.ndarray],
+    has_mask: bool,
     measurement_weight: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+):
     """Weighted-average update of a per-voxel page pool from one image."""
-    centers, page_valid = _page_voxel_centers(state, config)  # (P, B^3, 3)
-    P, B3, _ = centers.shape
+    coords, page_valid = _page_voxel_coords(page_to_block, config)  # (P, B^3, 3)
+    P, B3, _ = coords.shape
+    X, Y, Z = config.grid_shape
+    origin = jnp.asarray(config.aabb_min_m, dtype=jnp.float32)
+    centers = origin + (coords.astype(jnp.float32) + 0.5) * config.voxel_size_m
+
     u, v, z = _project(centers.reshape(-1, 3), T_WC, K)
     H, W = image.shape[:2]
     in_image = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
-    values, ui, vi = _bilinear_or_nearest_gather(image, u, v)
+    values, ui, vi = _nearest_gather(image, u, v)
     ok = in_image & (z > config.min_integration_distance_m) & (
         z < config.projective_integrator_max_integration_distance_m
     )
-    if mask is not None:
+    if has_mask:
         ok &= mask[vi, ui]
 
     # Only near-surface observed voxels accumulate appearance.
-    flat_vox = _page_voxel_flat_indices(state, config)  # (P, B^3)
-    tsdf_flat = state.tsdf.reshape(-1)[flat_vox.reshape(-1)]
-    w_flat = state.weight.reshape(-1)[flat_vox.reshape(-1)]
+    flat_vox = (
+        (coords[..., 0] * Y + coords[..., 1]) * Z + coords[..., 2]
+    ).reshape(-1)
+    tsdf_flat = tsdf.reshape(-1)[flat_vox]
+    w_flat = weight.reshape(-1)[flat_vox]
     near = (jnp.abs(tsdf_flat) < config.truncation_distance_m * 0.75) & (w_flat > 0)
     ok = ok & near & jnp.repeat(page_valid, B3)
 
@@ -295,25 +319,6 @@ def _integrate_pool(
     return pool_new.astype(pool.dtype), w_new
 
 
-def _page_voxel_flat_indices(state: VoxelGridState, config: MappingConfig):
-    """(P, B^3) flat voxel indices into the dense grid for each page."""
-    b = config.block_size
-    BX, BY, BZ = config.block_grid_shape
-    X, Y, Z = config.grid_shape
-    blk = jnp.maximum(state.page_to_block, 0)
-    bx = blk // (BY * BZ)
-    by = (blk // BZ) % BY
-    bz = blk % BZ
-
-    r = jnp.arange(b, dtype=jnp.int32)
-    ox, oy, oz = jnp.meshgrid(r, r, r, indexing="ij")
-    vx = bx[:, None] * b + ox.reshape(-1)[None, :]
-    vy = by[:, None] * b + oy.reshape(-1)[None, :]
-    vz = bz[:, None] * b + oz.reshape(-1)[None, :]
-    return (vx * Y + vy) * Z + vz
-
-
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def integrate_features(
     state: VoxelGridState,
     config: MappingConfig,
@@ -324,21 +329,25 @@ def integrate_features(
 ) -> VoxelGridState:
     """Fuse a (H, W, F) feature image into the block-paged feature pool."""
     state = allocate_pages(state, config)
-    feat, feat_weight = _integrate_pool(
+    has_mask = mask is not None
+    mask_arg = mask if has_mask else jnp.zeros((1, 1), dtype=bool)
+    feat, feat_weight = _integrate_pool_jit(
         state.feat,
         state.feat_weight,
-        state,
-        config,
+        state.page_to_block,
+        state.tsdf,
+        state.weight,
         features,
         T_WC,
         K,
-        mask,
+        mask_arg,
+        config,
+        has_mask,
         config.projective_appearance_integrator_measurement_weight,
     )
     return dataclasses.replace(state, feat=feat, feat_weight=feat_weight)
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def integrate_color(
     state: VoxelGridState,
     config: MappingConfig,
@@ -349,15 +358,20 @@ def integrate_color(
 ) -> VoxelGridState:
     """Fuse a (H, W, 3) color image into the color pool."""
     state = allocate_pages(state, config)
-    color, color_weight = _integrate_pool(
+    has_mask = mask is not None
+    mask_arg = mask if has_mask else jnp.zeros((1, 1), dtype=bool)
+    color, color_weight = _integrate_pool_jit(
         state.color,
         state.color_weight,
-        state,
-        config,
+        state.page_to_block,
+        state.tsdf,
+        state.weight,
         rgb,
         T_WC,
         K,
-        mask,
+        mask_arg,
+        config,
+        has_mask,
         1.0,
     )
     return dataclasses.replace(state, color=color, color_weight=color_weight)
@@ -369,24 +383,16 @@ def integrate_color(
 
 
 @partial(jax.jit, static_argnames=("config", "max_vertices"))
-def extract_surface_vertices(
-    state: VoxelGridState, config: MappingConfig, max_vertices: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Extract surface points with per-vertex features.
-
-    Surface voxels are observed voxels whose TSDF crosses zero against a
-    +x/+y/+z neighbor; the vertex is placed at the zero crossing along that
-    axis (linear interpolation), and features come from the voxel's pool slot.
-
-    Returns (vertices (N, 3), features (N, F), valid (N,)) with N =
-    max_vertices; invalid rows are zero.
-    """
+def _extract_surface_jit(
+    tsdf, weight, page_table, feat, feat_weight, config: MappingConfig,
+    max_vertices: int,
+):
     X, Y, Z = config.grid_shape
-    tsdf = state.tsdf
-    w = state.weight
-    observed = w > 0
+    observed = weight > 0
 
-    verts_parts = []
+    centers = voxel_centers_flat(config).reshape(X, Y, Z, 3)
+    all_pos = []
+    all_flags = []
     for axis in range(3):
         shifted_t = jnp.roll(tsdf, -1, axis=axis)
         shifted_o = jnp.roll(observed, -1, axis=axis)
@@ -404,12 +410,6 @@ def extract_surface_vertices(
         )
         denom = tsdf - shifted_t
         alpha = jnp.where(jnp.abs(denom) > 1e-9, tsdf / denom, 0.5)
-        verts_parts.append((crossing, alpha, axis))
-
-    centers = voxel_centers_flat(config).reshape(X, Y, Z, 3)
-    all_pos = []
-    all_flags = []
-    for crossing, alpha, axis in verts_parts:
         offset = jnp.zeros((X, Y, Z, 3))
         offset = offset.at[..., axis].set(alpha * config.voxel_size_m)
         all_pos.append((centers + offset).reshape(-1, 3))
@@ -423,30 +423,113 @@ def extract_surface_vertices(
 
     # Feature lookup: voxel -> block -> page -> slot.
     vox_flat = sel % (X * Y * Z)
-    features = _lookup_features(state, config, vox_flat)
-    features = jnp.where(valid[:, None], features, 0.0)
-    return vertices, features, valid
-
-
-def _lookup_features(
-    state: VoxelGridState, config: MappingConfig, vox_flat: jnp.ndarray
-) -> jnp.ndarray:
-    """Gather pool features for flat voxel indices; zeros if unallocated."""
     b = config.block_size
-    BX, BY, BZ = config.block_grid_shape
-    X, Y, Z = config.grid_shape
     vx = vox_flat // (Y * Z)
     vy = (vox_flat // Z) % Y
     vz = vox_flat % Z
-    page = state.page_table[vx // b, vy // b, vz // b]
+    page = page_table[vx // b, vy // b, vz // b]
     slot = ((vx % b) * b + (vy % b)) * b + (vz % b)
     safe_page = jnp.maximum(page, 0)
-    feats = state.feat[safe_page, slot].astype(jnp.float32)
-    has_feat = (page >= 0) & (state.feat_weight[safe_page, slot] > 0)
-    return jnp.where(has_feat[:, None], feats, 0.0)
+    feats = feat[safe_page, slot].astype(jnp.float32)
+    has_feat = (page >= 0) & (feat_weight[safe_page, slot] > 0)
+    features = jnp.where(has_feat[:, None] & valid[:, None], feats, 0.0)
+    return vertices, features, valid
+
+
+def extract_surface_vertices(
+    state: VoxelGridState, config: MappingConfig, max_vertices: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Extract surface points with per-vertex features.
+
+    Surface voxels are observed voxels whose TSDF crosses zero against a
+    +x/+y/+z neighbor; the vertex is placed at the zero crossing along that
+    axis (linear interpolation), and features come from the voxel's pool slot.
+
+    Returns (vertices (N, 3), features (N, F), valid (N,)) with N =
+    max_vertices; invalid rows are zero.
+    """
+    return _extract_surface_jit(
+        state.tsdf,
+        state.weight,
+        state.page_table,
+        state.feat,
+        state.feat_weight,
+        config,
+        max_vertices,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _query_tsdf_dense_jit(tsdf, weight, config: MappingConfig):
+    return jnp.where(weight > 0, tsdf, config.unobserved_value)
 
 
 def query_tsdf_dense(state: VoxelGridState, config: MappingConfig) -> jnp.ndarray:
     """Dense (X, Y, Z) TSDF with unobserved voxels filled with
     config.unobserved_value (reference: convert_layer_to_dense_tensor)."""
-    return jnp.where(state.weight > 0, state.tsdf, config.unobserved_value)
+    return _query_tsdf_dense_jit(state.tsdf, state.weight, config)
+
+
+# -----------------------------------------------------------------------------
+# Fused per-frame update (single XLA program)
+# -----------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "has_mask", "with_decay"),
+    donate_argnums=(0,),
+)
+def _fuse_frame_jit(state: VoxelGridState, depth, features, T_WC, K, feat_K,
+                    mask, config: MappingConfig, has_mask: bool,
+                    with_decay: bool):
+    tsdf, weight = state.tsdf, state.weight
+    if with_decay:
+        tsdf, weight = _decay_jit.__wrapped__(tsdf, weight, config)
+    tsdf, weight = _integrate_depth_jit.__wrapped__(
+        tsdf, weight, depth, T_WC, K, mask, config, has_mask
+    )
+    page_table, page_to_block, num_pages = _allocate_pages_jit.__wrapped__(
+        tsdf, weight, state.page_table, state.page_to_block, state.num_pages,
+        config,
+    )
+    feat, feat_weight = _integrate_pool_jit.__wrapped__(
+        state.feat, state.feat_weight, page_to_block, tsdf, weight, features,
+        T_WC, feat_K, mask, config, has_mask,
+        config.projective_appearance_integrator_measurement_weight,
+    )
+    return dataclasses.replace(
+        state,
+        tsdf=tsdf,
+        weight=weight,
+        page_table=page_table,
+        page_to_block=page_to_block,
+        num_pages=num_pages,
+        feat=feat,
+        feat_weight=feat_weight,
+    )
+
+
+def fuse_frame(
+    state: VoxelGridState,
+    config: MappingConfig,
+    depth: jnp.ndarray,
+    features: jnp.ndarray,
+    T_WC: jnp.ndarray,
+    K: jnp.ndarray,
+    feat_K: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    with_decay: bool = True,
+) -> VoxelGridState:
+    """One fused map update: decay + TSDF + page alloc + feature fusion.
+
+    Dispatches a single XLA program per frame - the production fusion path
+    (host dispatch overhead amortizes to one call; everything stays in HBM).
+    The feature mask, when given, must be at the feature image resolution.
+    """
+    has_mask = mask is not None
+    mask_arg = mask if has_mask else jnp.zeros((1, 1), dtype=bool)
+    return _fuse_frame_jit(
+        state, depth, features, T_WC, K, feat_K, mask_arg, config, has_mask,
+        with_decay,
+    )
