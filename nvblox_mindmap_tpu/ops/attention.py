@@ -34,6 +34,7 @@ def multi_head_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,
     rotary_codes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     need_weights: bool = True,
+    impl: str = "xla",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scaled dot-product attention over projected q/k/v.
 
@@ -67,6 +68,18 @@ def multi_head_attention(
     qh = q.reshape(B, L, num_heads, head_dim)
     kh = k.reshape(B, S, num_heads, head_dim)
     vh = v.reshape(B, S, num_heads, head_dim)
+
+    if impl == "flash" and not need_weights:
+        from nvblox_mindmap_tpu.ops.flash_attention import flash_attention
+
+        inclusion = None if key_padding_mask is None else ~key_padding_mask
+        out = flash_attention(
+            qh.transpose(0, 2, 1, 3),
+            kh.transpose(0, 2, 1, 3),
+            vh.transpose(0, 2, 1, 3),
+            key_padding_mask=inclusion,
+        )
+        return out.transpose(0, 2, 1, 3).reshape(B, L, E), None
 
     logits = jnp.einsum("blhd,bshd->bhls", qh, kh)
     if key_padding_mask is not None:

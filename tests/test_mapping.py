@@ -197,3 +197,23 @@ def test_dynamic_scene_decay_and_remap():
     # New wall location has a surface.
     new = np.abs(zs - 1.2) < cfg.voxel_size_m
     assert np.any(np.abs(tsdf[new & (w > 0)]) < cfg.voxel_size_m)
+
+
+def test_fuse_frame_matches_sequential():
+    cfg = small_config(feature_dim=8)
+    K, T, H, W = camera()
+    depth = jnp.full((H, W), 1.0)
+    feat = jnp.ones((2 * H, 2 * W, 8))
+    fK = jnp.asarray(np.asarray(K) * np.asarray([[2.0], [2.0], [1.0]]))
+
+    fused = vg.create_state(cfg)
+    fused = vg.fuse_frame(fused, cfg, depth, feat, jnp.asarray(T), jnp.asarray(K), fK)
+
+    seq = vg.create_state(cfg)
+    seq = vg.decay(seq, cfg)
+    seq = vg.integrate_depth(seq, cfg, depth, jnp.asarray(T), jnp.asarray(K))
+    seq = vg.integrate_features(seq, cfg, feat, jnp.asarray(T), fK)
+
+    np.testing.assert_allclose(np.asarray(fused.tsdf), np.asarray(seq.tsdf))
+    np.testing.assert_allclose(np.asarray(fused.feat), np.asarray(seq.feat))
+    assert int(fused.num_pages) == int(seq.num_pages)
