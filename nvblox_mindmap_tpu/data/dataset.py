@@ -101,9 +101,11 @@ def _load_item(path: str):
     if ext == "npy":
         return np.load(path).astype(np.float32)
     if ext == "png":
-        import imageio.v2 as imageio
+        # Native libpng decode when the runtime library is built; imageio
+        # fallback otherwise.
+        from nvblox_mindmap_tpu.runtime import decode_png
 
-        return np.asarray(imageio.imread(path)).astype(np.float32)
+        return decode_png(path).astype(np.float32)
     if ext == "zst":
         sample = unpickle_zst(path)
         # Normalize to float32 dict with canonical keys.

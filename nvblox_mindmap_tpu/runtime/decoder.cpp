@@ -1,0 +1,324 @@
+// Native dataset decoder: zstd decompression + PNG decode + a thread pool.
+//
+// The reference's input hot loop decodes one zstd-pickled vertex dict and
+// several PNGs per sample (reference: mindmap/data_loading/dataset.py
+// __getitem__, backed by CUDA-side nvblox_torch and pip-C codecs). Here the
+// host-side byte work moves into C++: libzstd streaming decompression,
+// libpng row-wise decode (8-bit RGB and 16-bit depth), and a batched
+// multi-threaded entry point so the feed thread can decode a whole batch of
+// frames in parallel while the TPU runs the previous step.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+
+#include <png.h>
+#include <zstd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// zstd
+// ---------------------------------------------------------------------------
+
+// Decompress a zstd file. Returns the decompressed size, or -1 on error.
+// If out == nullptr, only returns the required size (two-pass API).
+long long mm_zstd_decompress_file(const char* path, uint8_t* out,
+                                  long long out_capacity) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> comp(fsize);
+  if (fread(comp.data(), 1, fsize, f) != (size_t)fsize) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+
+  unsigned long long content_size =
+      ZSTD_getFrameContentSize(comp.data(), comp.size());
+  if (content_size == ZSTD_CONTENTSIZE_ERROR) return -1;
+
+  if (content_size != ZSTD_CONTENTSIZE_UNKNOWN) {
+    if (out == nullptr) return (long long)content_size;
+    if ((long long)content_size > out_capacity) return -1;
+    size_t got = ZSTD_decompress(out, content_size, comp.data(), comp.size());
+    if (ZSTD_isError(got)) return -1;
+    return (long long)got;
+  }
+
+  // Streaming fallback for unknown content size (python-zstandard's
+  // stream_writer produces frames without a stored content size).
+  ZSTD_DStream* ds = ZSTD_createDStream();
+  if (!ds) return -1;
+  ZSTD_initDStream(ds);
+  std::vector<uint8_t> result;
+  result.reserve(comp.size() * 4);
+  std::vector<uint8_t> chunk(1 << 20);
+  ZSTD_inBuffer in = {comp.data(), comp.size(), 0};
+  while (in.pos < in.size) {
+    ZSTD_outBuffer ob = {chunk.data(), chunk.size(), 0};
+    size_t ret = ZSTD_decompressStream(ds, &ob, &in);
+    if (ZSTD_isError(ret)) {
+      ZSTD_freeDStream(ds);
+      return -1;
+    }
+    result.insert(result.end(), chunk.data(), chunk.data() + ob.pos);
+    if (ret == 0) break;
+  }
+  ZSTD_freeDStream(ds);
+  if (out == nullptr) return (long long)result.size();
+  if ((long long)result.size() > out_capacity) return -1;
+  memcpy(out, result.data(), result.size());
+  return (long long)result.size();
+}
+
+// Single-pass decompression: allocates an internal buffer and returns it via
+// out_ptr. Caller must release with mm_buffer_free. Returns size or -1.
+long long mm_zstd_decompress_file_alloc(const char* path, uint8_t** out_ptr) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> comp(fsize);
+  if (fread(comp.data(), 1, fsize, f) != (size_t)fsize) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+
+  auto* result = new std::vector<uint8_t>();
+  unsigned long long content_size =
+      ZSTD_getFrameContentSize(comp.data(), comp.size());
+  if (content_size != ZSTD_CONTENTSIZE_ERROR &&
+      content_size != ZSTD_CONTENTSIZE_UNKNOWN) {
+    result->resize(content_size);
+    size_t got =
+        ZSTD_decompress(result->data(), content_size, comp.data(), comp.size());
+    if (ZSTD_isError(got)) {
+      delete result;
+      return -1;
+    }
+    result->resize(got);
+  } else {
+    ZSTD_DStream* ds = ZSTD_createDStream();
+    if (!ds) {
+      delete result;
+      return -1;
+    }
+    ZSTD_initDStream(ds);
+    result->reserve(comp.size() * 4);
+    std::vector<uint8_t> chunk(1 << 20);
+    ZSTD_inBuffer in = {comp.data(), comp.size(), 0};
+    while (in.pos < in.size) {
+      ZSTD_outBuffer ob = {chunk.data(), chunk.size(), 0};
+      size_t ret = ZSTD_decompressStream(ds, &ob, &in);
+      if (ZSTD_isError(ret)) {
+        ZSTD_freeDStream(ds);
+        delete result;
+        return -1;
+      }
+      result->insert(result->end(), chunk.data(), chunk.data() + ob.pos);
+      if (ret == 0) break;
+    }
+    ZSTD_freeDStream(ds);
+  }
+  *out_ptr = result->data();
+  // Stash the vector pointer just before... instead, return via handle table:
+  // simplest portable approach: leak-free via pairing pointer in a map.
+  {
+    extern void mm_register_buffer(uint8_t* data, void* owner);
+    mm_register_buffer(result->data(), result);
+  }
+  return (long long)result->size();
+}
+
+namespace {
+std::mutex g_buf_mu;
+std::vector<std::pair<uint8_t*, void*>> g_buffers;
+}  // namespace
+
+void mm_register_buffer(uint8_t* data, void* owner) {
+  std::lock_guard<std::mutex> lock(g_buf_mu);
+  g_buffers.emplace_back(data, owner);
+}
+
+void mm_buffer_free(uint8_t* data) {
+  std::lock_guard<std::mutex> lock(g_buf_mu);
+  for (auto it = g_buffers.begin(); it != g_buffers.end(); ++it) {
+    if (it->first == data) {
+      delete static_cast<std::vector<uint8_t>*>(it->second);
+      g_buffers.erase(it);
+      return;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PNG
+// ---------------------------------------------------------------------------
+
+// Read a PNG header: fills width/height/channels/bit_depth. Returns 0 on
+// success.
+int mm_png_info(const char* path, int* width, int* height, int* channels,
+                int* bit_depth) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -1;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  *width = png_get_image_width(png, info);
+  *height = png_get_image_height(png, info);
+  *channels = png_get_channels(png, info);
+  *bit_depth = png_get_bit_depth(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  return 0;
+}
+
+// Decode a PNG into a caller-provided buffer (row-major, native channel
+// count). 16-bit images are emitted as native-endian uint16. Returns 0 on
+// success.
+int mm_png_decode(const char* path, uint8_t* out, long long out_capacity) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -1;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  int width = png_get_image_width(png, info);
+  int height = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+
+  if (png_get_color_type(png, info) == PNG_COLOR_TYPE_PALETTE)
+    png_set_palette_to_rgb(png);
+  if (bit_depth == 16) png_set_swap(png);  // little-endian uint16
+  png_read_update_info(png, info);
+
+  size_t rowbytes = png_get_rowbytes(png, info);
+  if ((long long)(rowbytes * height) > out_capacity) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -1;
+  }
+  std::vector<png_bytep> rows(height);
+  for (int y = 0; y < height; y++) rows[y] = out + y * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Thread pool for batched decode
+// ---------------------------------------------------------------------------
+
+namespace {
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) : stop_(false) {
+    for (int i = 0; i < n; i++) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> task;
+          {
+            std::unique_lock<std::mutex> lock(mu_);
+            cv_.wait(lock, [this] { return stop_ || !tasks_.empty(); });
+            if (stop_ && tasks_.empty()) return;
+            task = std::move(tasks_.front());
+            tasks_.pop();
+          }
+          task();
+        }
+      });
+    }
+  }
+
+  ~ThreadPool() {
+    {
+      std::unique_lock<std::mutex> lock(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+
+  void submit(std::function<void()> task) {
+    {
+      std::unique_lock<std::mutex> lock(mu_);
+      tasks_.push(std::move(task));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> tasks_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_;
+};
+
+ThreadPool* g_pool = nullptr;
+std::mutex g_pool_mu;
+
+ThreadPool* pool(int n_threads) {
+  std::lock_guard<std::mutex> lock(g_pool_mu);
+  if (!g_pool) g_pool = new ThreadPool(n_threads > 0 ? n_threads : 4);
+  return g_pool;
+}
+
+}  // namespace
+
+// Decode a batch of PNGs in parallel. paths: array of n C strings; outs:
+// array of n destination buffers; capacities: per-buffer sizes. Returns the
+// number of failures.
+int mm_png_decode_batch(const char** paths, uint8_t** outs,
+                        const long long* capacities, int n, int n_threads) {
+  std::atomic<int> failures(0);
+  std::atomic<int> done(0);
+  std::mutex mu;
+  std::condition_variable cv;
+  ThreadPool* p = pool(n_threads);
+  for (int i = 0; i < n; i++) {
+    p->submit([&, i] {
+      if (mm_png_decode(paths[i], outs[i], capacities[i]) != 0) failures++;
+      if (++done == n) {
+        std::lock_guard<std::mutex> lock(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lock(mu);
+  cv.wait(lock, [&] { return done.load() == n; });
+  return failures.load();
+}
+
+}  // extern "C"
