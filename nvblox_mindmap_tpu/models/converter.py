@@ -1,0 +1,38 @@
+"""Model conversion utilities (reference: mindmap/diffuser_actor/converter.py).
+
+The reference post-hoc rewrites a trained model for fast inference:
+custom attention -> flash attention (weight-compatible), and DDPM -> DDIM
+scheduler. In this framework both are configuration, not module surgery -
+parameters are pytrees and the schedulers are pure tables - so conversion is
+just producing the inference-time settings:
+
+- ``convert_to_flash_attention``: returns sampling kwargs selecting the
+  Pallas flash kernel (parameters are unchanged; the kernels are
+  numerically equivalent).
+- ``convert_diffusion_scheduler``: returns sampling kwargs for DDIM with a
+  reduced step count (e.g. 10 steps instead of 100).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+
+def convert_to_flash_attention() -> Dict:
+    """Inference settings that route attention through the Pallas kernel."""
+    return {"attention_impl": "flash"}
+
+
+def convert_diffusion_scheduler(
+    num_inference_steps: int = 10, eta: float = 0.0
+) -> Dict:
+    """DDIM inference settings (deterministic when eta == 0).
+
+    Pass the result to ``sample_trajectory``:
+        sample_trajectory(..., **convert_diffusion_scheduler(10))
+    """
+    assert eta == 0.0, "only eta=0 (deterministic DDIM) is supported"
+    return {
+        "scheduler_kind": "ddim",
+        "num_inference_steps": num_inference_steps,
+        "stochastic": False,
+    }

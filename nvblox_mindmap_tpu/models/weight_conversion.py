@@ -1,0 +1,120 @@
+"""Torch -> flax weight conversion for the frozen vision backbones.
+
+The reference loads RADIO / DINOv2 / CLIP weights from torch hub
+(reference: image_processing/feature_extraction.py:360-535). This module maps
+those torch state dicts onto the flax modules in ``feature_extractors.py``:
+
+- timm/DINOv2-style ViT: patch_embed.proj, pos_embed, blocks.N.{norm1, attn
+  (fused qkv), norm2, mlp.fc1/fc2}, final norm. CLS/register tokens are
+  dropped (the policy consumes patch features only).
+- Layout rules: torch Linear (out, in) -> flax kernel (in, out); torch Conv
+  (out, in, kh, kw) -> flax (kh, kw, in, out); fused qkv splits into flax
+  MultiHeadDotProductAttention's (E, heads, head_dim) projections.
+
+Conversion is pure numpy on host; feed the result to ``module.apply`` as
+{"params": params}. Use ``interpolate_pos_embed`` when the runtime patch grid
+differs from the pretraining grid.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _linear(w: np.ndarray, b: np.ndarray) -> Dict[str, np.ndarray]:
+    return {"kernel": np.asarray(w).T, "bias": np.asarray(b)}
+
+
+def _layernorm(w: np.ndarray, b: np.ndarray) -> Dict[str, np.ndarray]:
+    return {"scale": np.asarray(w), "bias": np.asarray(b)}
+
+
+def convert_torch_vit_weights(
+    state_dict: Dict[str, np.ndarray],
+    depth: int,
+    num_heads: int,
+    prefix: str = "",
+    num_prefix_tokens: int = 1,
+) -> Dict:
+    """Map a timm/DINOv2-style ViT state dict onto VitFeatureExtractor params.
+
+    Args:
+        state_dict: name -> numpy array (call .numpy() on torch tensors).
+        depth: number of transformer blocks.
+        num_heads: attention heads.
+        prefix: optional key prefix in the state dict (e.g. "model.").
+        num_prefix_tokens: CLS (+ register) tokens to drop from pos_embed.
+
+    Returns:
+        flax params dict for VitFeatureExtractor.
+    """
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+
+    params: Dict = {}
+    conv_w = sd["patch_embed.proj.weight"]  # (E, 3, p, p)
+    params["patch_embed"] = {
+        "kernel": conv_w.transpose(2, 3, 1, 0),
+        "bias": sd["patch_embed.proj.bias"],
+    }
+    pos = sd["pos_embed"]  # (1, prefix+N, E)
+    params["pos_embed"] = pos[:, num_prefix_tokens:, :]
+
+    width = conv_w.shape[0]
+    head_dim = width // num_heads
+    for i in range(depth):
+        b = f"blocks.{i}."
+        params[f"ln1_{i}"] = _layernorm(sd[b + "norm1.weight"], sd[b + "norm1.bias"])
+        params[f"ln2_{i}"] = _layernorm(sd[b + "norm2.weight"], sd[b + "norm2.bias"])
+
+        qkv_w = sd[b + "attn.qkv.weight"]  # (3E, E)
+        qkv_b = sd[b + "attn.qkv.bias"]
+        q_w, k_w, v_w = np.split(qkv_w, 3, axis=0)
+        q_b, k_b, v_b = np.split(qkv_b, 3, axis=0)
+
+        def proj(w, bias):
+            # (E_out, E_in) -> (E_in, heads, head_dim)
+            return {
+                "kernel": w.T.reshape(width, num_heads, head_dim),
+                "bias": bias.reshape(num_heads, head_dim),
+            }
+
+        out_w = sd[b + "attn.proj.weight"]  # (E, E)
+        params[f"attn_{i}"] = {
+            "query": proj(q_w, q_b),
+            "key": proj(k_w, k_b),
+            "value": proj(v_w, v_b),
+            "out": {
+                "kernel": out_w.T.reshape(num_heads, head_dim, width),
+                "bias": sd[b + "attn.proj.bias"],
+            },
+        }
+        params[f"mlp1_{i}"] = _linear(sd[b + "mlp.fc1.weight"], sd[b + "mlp.fc1.bias"])
+        params[f"mlp2_{i}"] = _linear(sd[b + "mlp.fc2.weight"], sd[b + "mlp.fc2.bias"])
+
+    params["ln_final"] = _layernorm(sd["norm.weight"], sd["norm.bias"])
+    return params
+
+
+def interpolate_pos_embed(params: Dict, target_grid: int) -> Dict:
+    """Bilinearly resample the patch pos_embed to a new grid size.
+
+    Pretrained ViTs store pos_embed for their training grid (e.g. 16x16 for
+    224/14); the extractor may run at a different patch grid (e.g. 32x32).
+    """
+    import jax
+
+    pos = np.asarray(params["pos_embed"])  # (1, N, E)
+    n, e = pos.shape[1], pos.shape[2]
+    g = int(round(np.sqrt(n)))
+    assert g * g == n, f"pos_embed length {n} is not square"
+    if g == target_grid:
+        return params
+    grid = pos.reshape(1, g, g, e)
+    resized = np.asarray(
+        jax.image.resize(grid, (1, target_grid, target_grid, e), method="bilinear")
+    )
+    out = dict(params)
+    out["pos_embed"] = resized.reshape(1, target_grid * target_grid, e)
+    return out
