@@ -99,3 +99,29 @@ def timer_status_string() -> str:
 
 def print_timers():
     print(timer_status_string())
+
+
+class ProfilerTrace:
+    """jax.profiler trace context for device-side timelines.
+
+    Host timers above measure wall clock; this captures the XLA/TPU trace
+    (viewable in TensorBoard / Perfetto). Usage:
+
+        with ProfilerTrace("/tmp/trace"):
+            train_step(...)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

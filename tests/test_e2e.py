@@ -43,6 +43,7 @@ def small_train_argv(dataset_dir, log_dir):
     ]
 
 
+@pytest.mark.slow
 def test_training_app_e2e(dataset_dir, tmp_path):
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
