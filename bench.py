@@ -83,19 +83,29 @@ def main():
         )
         return traj
 
-    params = variables["params"]
-    key = jax.random.PRNGKey(1)
-    # Warmup / compile.
-    jax.block_until_ready(predict(params, batch, key))
+    @jax.jit
+    def predict_ddim(params, batch, key):
+        # Serving mode: DDIM, 10 steps (reference converter.py parity).
+        prepared = prepare_inputs(batch, bounds, cfg)
+        traj, _, _ = sample_trajectory(
+            model, {"params": params}, prepared, key, bounds,
+            num_inference_steps=10, scheduler_kind="ddim", stochastic=False,
+        )
+        return traj
 
-    times = []
-    for i in range(20):
-        key = jax.random.PRNGKey(i)
-        t0 = time.perf_counter()
-        jax.block_until_ready(predict(params, batch, key))
-        times.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(times, 50) * 1000)
-    return p50_ms
+    params = variables["params"]
+
+    def measure(fn, n=20):
+        jax.block_until_ready(fn(params, batch, jax.random.PRNGKey(0)))
+        times = []
+        for i in range(n):
+            key = jax.random.PRNGKey(i)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params, batch, key))
+            times.append(time.perf_counter() - t0)
+        return float(np.percentile(times, 50) * 1000)
+
+    return measure(predict), measure(predict_ddim)
 
 
 def _bench_fusion_hz() -> float:
@@ -133,7 +143,7 @@ def _bench_fusion_hz() -> float:
     return n / (time.perf_counter() - t0)
 
 
-def _run_in_subprocess(what: str) -> float:
+def _run_in_subprocess(what: str) -> list:
     """Run one measurement in a clean process (device state isolation)."""
     import subprocess
     import sys
@@ -144,7 +154,7 @@ def _run_in_subprocess(what: str) -> float:
         text=True,
         check=True,
     )
-    return float(out.stdout.strip().splitlines()[-1])
+    return [float(v) for v in out.stdout.strip().splitlines()[-1].split()]
 
 
 if __name__ == "__main__":
@@ -153,12 +163,13 @@ if __name__ == "__main__":
     if "--measure" in sys.argv:
         what = sys.argv[sys.argv.index("--measure") + 1]
         if what == "keypose":
-            print(main())
+            ddpm_ms, ddim_ms = main()
+            print(ddpm_ms, ddim_ms)
         else:
             print(_bench_fusion_hz())
     else:
-        p50_ms = _run_in_subprocess("keypose")
-        fusion_hz = _run_in_subprocess("fusion")
+        p50_ms, ddim_ms = _run_in_subprocess("keypose")
+        (fusion_hz,) = _run_in_subprocess("fusion")
         print(
             json.dumps(
                 {
@@ -166,6 +177,7 @@ if __name__ == "__main__":
                     "value": round(p50_ms, 3),
                     "unit": "ms",
                     "vs_baseline": round(100.0 / p50_ms, 3),
+                    "ddim10_latency_ms": round(ddim_ms, 3),
                     "fusion_hz": round(fusion_hz, 1),
                     "fusion_hz_vs_target": round(fusion_hz / 30.0, 2),
                 }

@@ -47,7 +47,11 @@ def farthest_point_sampling(
     init = (jnp.full((B, N), jnp.inf, dtype=points.dtype), first)
     if num_samples == 1:
         return first[:, None]
-    (_, _), rest = jax.lax.scan(step, init, None, length=num_samples - 1)
+    # Unroll amortizes per-step dispatch overhead: each compiled scan body
+    # covers several selections (the recurrence itself is inherently serial).
+    (_, _), rest = jax.lax.scan(
+        step, init, None, length=num_samples - 1, unroll=8
+    )
     # rest: (K-1, B) -> (B, K-1)
     return jnp.concatenate([first[:, None], rest.T], axis=1)
 
