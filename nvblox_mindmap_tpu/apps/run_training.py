@@ -120,8 +120,21 @@ def main(argv=None):
         seed=args.seed,
     )
 
+    from nvblox_mindmap_tpu.utils.config import args_to_dict as _to_dict
+    from nvblox_mindmap_tpu.utils.logging_utils import MetricLogger
+
+    metric_logger = MetricLogger(
+        use_wandb=args.wandb_mode != "disabled",
+        wandb_project=args.exp_name,
+        wandb_name=args.wandb_name,
+        wandb_entity=args.wandb_entity,
+        wandb_mode=args.wandb_mode,
+        config=_to_dict(args),
+    )
     train_loader, _, val_loader = build_loaders(args, embodiment)
-    trainer = Trainer(model_config, trainer_config, bounds)
+    trainer = Trainer(
+        model_config, trainer_config, bounds, metric_logger=metric_logger
+    )
 
     params = opt_state = None
     start_iter, best_loss = 0, None

@@ -124,7 +124,9 @@ class Trainer:
         trainer_config: TrainerConfig,
         workspace_bounds: np.ndarray,
         mesh=None,
+        metric_logger=None,
     ):
+        self.metric_logger = metric_logger
         self.model_config = model_config
         self.config = trainer_config
         self.workspace_bounds = jnp.asarray(workspace_bounds, dtype=jnp.float32)
@@ -290,7 +292,16 @@ class Trainer:
         if count == 0:
             return float("inf"), {}
         mean_metrics = {k: v / count for k, v in metric_sums.items()}
+        # Cross-process reduction (no-op single-process).
+        from nvblox_mindmap_tpu.parallel.multihost import (
+            mean_metrics_across_processes,
+        )
+
+        mean_metrics = mean_metrics_across_processes(mean_metrics)
         mean_loss = loss_sum / count
+        if self.metric_logger is not None and jax.process_index() == 0:
+            self.metric_logger.log(mean_metrics, step, prefix=f"{split}/")
+            self.metric_logger.log({"loss": mean_loss}, step, prefix=f"{split}/")
         logger.info(
             "[%s] step %d: loss %.4f, distance %.4f m, rot err %.2f deg",
             split,
@@ -340,6 +351,12 @@ class Trainer:
                 params, opt_state, losses = self.train_one_step(
                     params, opt_state, batch, step
                 )
+            if (step + 1) % cfg.val_freq == 0 and self.metric_logger is not None:
+                if jax.process_index() == 0:
+                    host = jax.device_get(losses)
+                    self.metric_logger.log(
+                        {f"train-loss/{k}": v for k, v in host.items()}, step
+                    )
             if step % cfg.print_progress_freq == 0:
                 host_losses = jax.device_get(losses)
                 logger.info(
