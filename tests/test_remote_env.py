@@ -1,0 +1,56 @@
+"""Remote environment bridge over localhost: full closed-loop episode."""
+import numpy as np
+
+from nvblox_mindmap_tpu.closed_loop.environment import KinematicEnvironment
+from nvblox_mindmap_tpu.closed_loop.evaluators import BasicEvaluator
+from nvblox_mindmap_tpu.closed_loop.policies import GroundTruthPolicy
+from nvblox_mindmap_tpu.closed_loop.remote_env import (
+    EnvironmentServer,
+    RemoteEnvironment,
+)
+from nvblox_mindmap_tpu.closed_loop.runner import ClosedLoopConfig, run_one_episode
+from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+from tests.test_closed_loop import arm_state
+
+
+def test_remote_environment_roundtrip():
+    emb = ArmEmbodiment()
+    local = KinematicEnvironment(
+        emb, arm_state([0, 0, 0.3]), [np.asarray([0.3, 0, 0.3])], max_step_m=0.05
+    )
+    server = EnvironmentServer(local, port=0).start()
+    try:
+        remote = RemoteEnvironment("127.0.0.1", server.port)
+        remote.reset()
+        state = remote.get_policy_state()
+        np.testing.assert_allclose(state, arm_state([0, 0, 0.3]))
+        frames = remote.get_cameras()
+        assert "wrist" in frames
+        assert frames["wrist"].rgb.shape == (32, 32, 3)
+        remote.step(arm_state([0.3, 0, 0.3]))
+        moved = remote.get_policy_state()
+        assert moved[0] > state[0]
+        assert not remote.is_success()
+        remote.close()
+    finally:
+        server.stop()
+
+
+def test_full_episode_through_the_bridge():
+    emb = ArmEmbodiment()
+    waypoints = [np.asarray([0.25, 0.0, 0.3])]
+    local = KinematicEnvironment(emb, arm_state([0, 0, 0.3]), waypoints,
+                                 max_step_m=0.05)
+    server = EnvironmentServer(local, port=0).start()
+    try:
+        remote = RemoteEnvironment("127.0.0.1", server.port)
+        policy = GroundTruthPolicy(np.stack([arm_state(w) for w in waypoints]))
+        evaluator = BasicEvaluator()
+        evaluator.start_demo("demo_0")
+        success = run_one_episode(
+            remote, policy, emb, evaluator, ClosedLoopConfig(max_num_steps=100)
+        )
+        assert success
+        remote.close()
+    finally:
+        server.stop()
