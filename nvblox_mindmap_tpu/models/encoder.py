@@ -193,6 +193,36 @@ class Encoder(nn.Module):
         )
         return outputs[-1], gripper_pos, weights[-1]
 
+    def encode_goal_gripper(
+        self,
+        goal_gripper: jnp.ndarray,
+        context_feats: jnp.ndarray,
+        context: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """Goal-gripper query cross-attends to the context.
+
+        Args:
+            goal_gripper: (B, >=3) goal pose (xyz used for the rotary code).
+
+        Returns:
+            (feats (B, 1, E), pos code (B, 1, E, 2)).
+        """
+        B = goal_gripper.shape[0]
+        queries = jnp.broadcast_to(
+            self.goal_gripper_embed[None], (B, 1, self.embedding_dim)
+        )
+        goal_pos = self.relative_pe(goal_gripper[:, None, :3])
+        context_pos = self.relative_pe(context)
+        outputs, _ = self.gripper_context_head(
+            queries,
+            context_feats,
+            query_pos=goal_pos,
+            value_pos=context_pos,
+            deterministic=deterministic,
+        )
+        return outputs[-1], goal_pos
+
     def encode_instruction(self, instruction: jnp.ndarray):
         """(B, T, 512) CLIP text features -> (B, T, E) + zero rotary code."""
         instr_feats = self.instruction_encoder(instruction)
