@@ -108,7 +108,11 @@ class DiffusionSchedule:
         x0 = self._pred_x0(eps, t, sample)
 
         if self.kind == "ddim":
-            return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps
+            # Re-derive eps from the (possibly clipped) x0 so the (x0, eps)
+            # pair stays consistent - matches diffusers' DDIM when
+            # clip_sample is on.
+            eps_used = (sample - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
+            return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps_used
 
         # DDPM posterior mean.
         alpha_t = abar_t / abar_prev
