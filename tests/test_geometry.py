@@ -101,3 +101,52 @@ def test_matrix_to_quaternion_vs_torch_reference(seed):
     m = quaternion_to_matrix(jnp.asarray(q_ref))
     q_back = np.asarray(matrix_to_quaternion(m))
     np.testing.assert_allclose(np.abs(np.dot(q_ref, q_back)), 1.0, atol=1e-6)
+
+
+def test_gram_schmidt_orthonormalizes():
+    from nvblox_mindmap_tpu.geometry.pointcloud_utils import (
+        orthonormalize_by_gram_schmidt,
+    )
+
+    rng = np.random.default_rng(5)
+    m = jnp.asarray(rng.normal(size=(4, 3, 3)) + np.eye(3) * 2)
+    out = orthonormalize_by_gram_schmidt(m)
+    eye = jnp.broadcast_to(jnp.eye(3), out.shape)
+    np.testing.assert_allclose(
+        jnp.swapaxes(out, -1, -2) @ out, eye, atol=1e-5
+    )
+
+
+def test_rotation_from_svd_recovers_rotation():
+    from nvblox_mindmap_tpu.geometry.pointcloud_utils import rotation_from_svd
+
+    q = jnp.asarray(random_quats(1, seed=6))
+    R_true = quaternion_to_matrix(q)[0]
+    rng = np.random.default_rng(7)
+    pts2 = jnp.asarray(rng.normal(size=(50, 3)))
+    pts1 = pts2 @ R_true.T
+    R = rotation_from_svd(pts1, pts2)
+    np.testing.assert_allclose(R, R_true, atol=1e-5)
+    np.testing.assert_allclose(jnp.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_ghost_point_samplers():
+    from nvblox_mindmap_tpu.geometry.pointcloud_utils import (
+        sample_ghost_points_grid,
+        sample_ghost_points_uniform_cube,
+        sample_ghost_points_uniform_sphere,
+    )
+
+    bounds = ([0, 0, 0], [1, 2, 3])
+    grid = sample_ghost_points_grid(bounds, 5)
+    assert grid.shape == (125, 3)
+    assert grid.min() >= 0 and grid[:, 2].max() <= 3
+
+    rng = np.random.default_rng(8)
+    cube = sample_ghost_points_uniform_cube(bounds, 100, rng)
+    assert cube.shape == (100, 3)
+    sphere = sample_ghost_points_uniform_sphere(
+        [0.5, 1.0, 1.5], 0.5, bounds, 50, rng
+    )
+    assert sphere.shape == (50, 3)
+    assert np.all(np.linalg.norm(sphere - [0.5, 1.0, 1.5], axis=1) < 0.5)
