@@ -20,3 +20,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+    # Regenerate stored regression baselines (reference:
+    # tests/conftest.py --generate_baseline).
+    parser.addoption(
+        "--generate_baseline",
+        action="store_true",
+        default=False,
+        help="regenerate regression baselines instead of comparing",
+    )
