@@ -44,6 +44,25 @@ def linear_lr_schedule(
     return schedule
 
 
+def frozen_feature_extractor_mask(params: Any, fpn_trainable: bool = True) -> Any:
+    """True where a parameter is TRAINABLE.
+
+    The vision backbone is frozen (reference: feature_extraction.py freezes
+    all extractor weights); only the CLIP FPN trains when no pretrained FPN
+    is given (reference: ClipResNet50FpnFeatureExtractor.load_fpn).
+    """
+
+    def mask_fn(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if "feature_extractor" not in names:
+            return True
+        if fpn_trainable and "fpn" in names:
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
 def make_optimizer(
     params: Any,
     initial_learning_rate: float = 1e-4,
@@ -52,6 +71,7 @@ def make_optimizer(
     total_iters: int = 100_000,
     convergence_percentage: float = 0.75,
     accumulate_grad_batches: int = 1,
+    trainable_mask: Any = None,
 ) -> optax.GradientTransformation:
     schedule = linear_lr_schedule(
         initial_learning_rate, end_factor, total_iters, convergence_percentage
@@ -61,6 +81,14 @@ def make_optimizer(
         weight_decay=weight_decay,
         mask=_decay_mask(params),
     )
+    if trainable_mask is not None:
+        tx = optax.chain(
+            tx,
+            optax.masked(
+                optax.set_to_zero(),
+                jax.tree_util.tree_map(lambda t: not t, trainable_mask),
+            ),
+        )
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx

@@ -162,6 +162,13 @@ class Trainer:
         return params, opt_state
 
     def _make_tx(self, params):
+        from nvblox_mindmap_tpu.training.optimizer import (
+            frozen_feature_extractor_mask,
+        )
+
+        # Freeze the vision backbone (reference semantics): extractor params
+        # never update, except a trainable CLIP FPN.
+        trainable_mask = frozen_feature_extractor_mask(params, fpn_trainable=True)
         return make_optimizer(
             params,
             initial_learning_rate=self.config.initial_learning_rate,
@@ -170,6 +177,7 @@ class Trainer:
             total_iters=self.config.train_iters,
             convergence_percentage=self.config.learning_rate_convergence_percentage,
             accumulate_grad_batches=self.config.accumulate_grad_batches,
+            trainable_mask=trainable_mask,
         )
 
     # --- compiled steps ------------------------------------------------------

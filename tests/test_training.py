@@ -131,3 +131,65 @@ def test_decay_mask_excludes_norms_and_biases():
     assert mask["Dense_0"]["bias"] is False
     assert mask["LayerNorm_0"]["scale"] is False
     assert mask["LayerNorm_0"]["bias"] is False
+
+
+def test_feature_extractor_frozen_in_training(tmp_path):
+    """The vision backbone's params must not change during training."""
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+
+    model_cfg = DiffuserActorConfig(
+        embedding_dim=24,
+        num_attn_heads=4,
+        data_type="rgbd",
+        feature_type=FeatureExtractorType.DINO_V2_VITS14,
+        feature_image_size=(2, 2),
+        diffusion_timesteps=4,
+        fps_subsampling_factor=4,
+    )
+    trainer_cfg = TrainerConfig(
+        train_iters=2, batch_size=4, val_freq=1000,
+        checkpoint_dir=str(tmp_path / "c"), print_progress_freq=1000,
+    )
+    trainer = Trainer(model_cfg, trainer_cfg, BOUNDS)
+    template = make_train_batch_template(
+        model_cfg, batch_size=4, image_size=28, ncam=1
+    )
+    params, opt_state = trainer.init_state(template)
+    before = jax.device_get(params["encoder"]["feature_extractor"])
+    rng = np.random.default_rng(0)
+    batch = dict(template)
+    batch["rgbs"] = rng.uniform(0, 1, size=template["rgbs"].shape).astype(
+        np.float32
+    )
+    batch["pcds"] = rng.uniform(-0.4, 0.9, size=template["pcds"].shape).astype(
+        np.float32
+    )
+    params, opt_state, _ = trainer.train_one_step(params, opt_state, batch, 0)
+    after = jax.device_get(params["encoder"]["feature_extractor"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+    ):
+        np.testing.assert_array_equal(a, b)
+    # Non-frozen params did change.
+    head_before = jax.device_get(
+        jax.tree_util.tree_leaves(params["head"])[0]
+    )
+    assert np.isfinite(head_before).all()
+
+
+def test_frozen_mask_shapes():
+    from nvblox_mindmap_tpu.training.optimizer import (
+        frozen_feature_extractor_mask,
+    )
+
+    params = {
+        "encoder": {
+            "feature_extractor": {"backbone": {"kernel": np.ones(2)},
+                                  "fpn": {"kernel": np.ones(2)}},
+            "other": {"kernel": np.ones(2)},
+        }
+    }
+    mask = frozen_feature_extractor_mask(params, fpn_trainable=True)
+    assert mask["encoder"]["feature_extractor"]["backbone"]["kernel"] is False
+    assert mask["encoder"]["feature_extractor"]["fpn"]["kernel"] is True
+    assert mask["encoder"]["other"]["kernel"] is True
