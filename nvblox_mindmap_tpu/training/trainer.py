@@ -460,7 +460,7 @@ def _sample_normalized(model, variables, prepared, rng, cfg):
         return jnp.concatenate([pos, rot], axis=-1), (pred[..., 9:], head_yaw, weights)
 
     trajectory, (openness_seq, head_yaw_seq, weights_seq) = jax.lax.scan(
-        step_fn, trajectory, (timesteps, step_keys)
+        step_fn, trajectory, (timesteps, step_keys), unroll=min(5, T)
     )
     traj10 = jnp.concatenate([trajectory, openness_seq[-1]], axis=-1)
     head_yaw = None if head_yaw_seq is None else head_yaw_seq[-1]
