@@ -444,8 +444,8 @@ def _sample_normalized(model, variables, prepared, rng, cfg):
     L, G = cfg.prediction_horizon, cfg.ngrippers
     timesteps = pos_sched.timesteps()
     T = timesteps.shape[0]
-    init_key, *step_keys = jax.random.split(rng, T + 1)
-    step_keys = jnp.stack(step_keys)
+    all_keys = jax.random.split(rng, T + 1)
+    init_key, step_keys = all_keys[0], all_keys[1:]
     trajectory = jax.random.normal(init_key, (B, L, G, 9), dtype=jnp.float32)
 
     def step_fn(traj, inputs):
