@@ -80,3 +80,29 @@ def test_visualize_keyposes(tmp_path):
                           str(tmp_path / "viz"))
     assert len(out) == 1
     assert "element vertex" in open(out[0]).read()
+
+
+def test_visualize_nvblox_tensors(tmp_path):
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.mapping import voxel_grid as vg
+    from nvblox_mindmap_tpu.mapping.constants import MapperId, MappingConfig
+    from nvblox_mindmap_tpu.mapping.mapper import Mapper
+    from nvblox_mindmap_tpu.scripts.visualize_nvblox_tensors import main as viz_main
+
+    cfg = MappingConfig(
+        voxel_size_m=0.05, aabb_min_m=(-0.5, -0.5, 0.5),
+        aabb_max_m=(0.5, 0.5, 1.5), min_integration_distance_m=0.1,
+        feature_dim=4, max_feature_pages=64,
+    )
+    mapper = Mapper({MapperId.STATIC: cfg})
+    K = np.asarray([[32.0, 0, 16], [0, 32.0, 16], [0, 0, 1]], np.float32)
+    mapper.add_depth_frame(np.full((32, 32), 1.0, np.float32), np.eye(4), K)
+    mapper.add_feature_frame(np.ones((32, 32, 4), np.float32), np.eye(4), K)
+    map_path = str(tmp_path / "map.nvblx.pkl")
+    mapper.save_map(map_path)
+
+    out = str(tmp_path / "viz")
+    viz_main(["--map", map_path, "--output_dir", out, "--num_slices", "4"])
+    assert os.path.exists(os.path.join(out, "tsdf_slice_0.png"))
+    assert os.path.exists(os.path.join(out, "surface.ply"))
