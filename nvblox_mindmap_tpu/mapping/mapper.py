@@ -108,6 +108,50 @@ class Mapper:
             self.update_feature_mesh(mapper_id)
         return self._mesh_cache[mapper_id]
 
+    def update_color_mesh(self, mapper_id: int = MapperId.STATIC):
+        """Extract a triangle mesh with per-vertex colors (host Surface Nets).
+
+        (reference: nvblox update_color_mesh / get_color_mesh for viz)
+        """
+        from nvblox_mindmap_tpu.mapping.surface_nets import surface_nets
+
+        cfg = self.configs[mapper_id]
+        state = jax.device_get(self.states[mapper_id])
+        vertices, triangles, cells = surface_nets(
+            np.asarray(state.tsdf),
+            np.asarray(state.weight),
+            cfg.voxel_size_m,
+            np.asarray(cfg.aabb_min_m, dtype=np.float64),
+            truncation=cfg.truncation_distance_m,
+        )
+        colors = self._lookup_pool_host(state, cfg, cells, state.color,
+                                        state.color_weight)
+        self._color_mesh_cache = (vertices, triangles, colors)
+
+    def get_color_mesh(self, mapper_id: int = MapperId.STATIC):
+        """Returns (vertices (V, 3), triangles (T, 3), colors (V, 3))."""
+        if not hasattr(self, "_color_mesh_cache"):
+            self.update_color_mesh(mapper_id)
+        return self._color_mesh_cache
+
+    @staticmethod
+    def _lookup_pool_host(state, cfg: MappingConfig, voxels: np.ndarray,
+                          pool, pool_weight) -> np.ndarray:
+        """Host-side per-voxel pool lookup (zeros where unallocated)."""
+        if len(voxels) == 0:
+            return np.zeros((0, np.asarray(pool).shape[-1]), np.float32)
+        b = cfg.block_size
+        page_table = np.asarray(state.page_table)
+        pool = np.asarray(pool)
+        pool_weight = np.asarray(pool_weight)
+        vx, vy, vz = voxels.T
+        page = page_table[vx // b, vy // b, vz // b]
+        slot = ((vx % b) * b + (vy % b)) * b + (vz % b)
+        safe = np.maximum(page, 0)
+        values = pool[safe, slot].astype(np.float32)
+        has = (page >= 0) & (pool_weight[safe, slot] > 0)
+        return np.where(has[:, None], values, 0.0)
+
     # --- dense queries (layer views) -----------------------------------------
     def tsdf_dense(self, mapper_id: int = MapperId.STATIC) -> jnp.ndarray:
         return vg.query_tsdf_dense(self.states[mapper_id], self.configs[mapper_id])
