@@ -54,6 +54,7 @@ class DiffuserActorConfig:
     fps_subsampling_factor: int = 5
     use_fps: bool = True
     use_instruction: bool = False
+    lang_enhanced: bool = False
     encode_openness: bool = True
     use_shared_feature_encoder: bool = False
     rotation_parametrization: str = "6D"
@@ -97,6 +98,7 @@ class DiffuserActor(nn.Module):
             embedding_dim=cfg.embedding_dim,
             num_attn_heads=cfg.num_attn_heads,
             use_instruction=cfg.use_instruction,
+            lang_enhanced=cfg.lang_enhanced,
             rotation_dim=6 if "6D" in cfg.rotation_parametrization else 4,
             nhist=cfg.nhist,
             prediction_horizon=cfg.prediction_horizon,

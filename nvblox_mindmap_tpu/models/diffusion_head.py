@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from nvblox_mindmap_tpu.models.layers import (
     FFWRelativeCrossAttentionModule,
     FFWRelativeSelfAttentionModule,
+    FFWRelativeSelfCrossAttentionModule,
     ParallelAttention,
 )
 from nvblox_mindmap_tpu.ops.positional import rotary_pe_3d, sinusoidal_pos_emb
@@ -46,6 +47,7 @@ class DiffusionHead(nn.Module):
     embedding_dim: int = 120
     num_attn_heads: int = 8
     use_instruction: bool = False
+    lang_enhanced: bool = False
     rotation_dim: int = 6
     nhist: int = 3
     prediction_horizon: int = 1
@@ -76,21 +78,42 @@ class DiffusionHead(nn.Module):
             E, self.num_attn_heads, num_layers=2, dropout=self.diffusion_dropout,
             use_adaln=True,
         )
-        self.self_attn = FFWRelativeSelfAttentionModule(
-            E, self.num_attn_heads, num_layers=4, dropout=self.diffusion_dropout,
-            use_adaln=True,
-        )
+        if self.lang_enhanced:
+            # Interleave cross-attention to language (reference
+            # diffusion_head.py:94-102, 113-116, 131-135).
+            self.self_attn = FFWRelativeSelfCrossAttentionModule(
+                E, self.num_attn_heads, num_self_attn_layers=4,
+                num_cross_attn_layers=3, dropout=self.diffusion_dropout,
+                use_adaln=True,
+            )
+        else:
+            self.self_attn = FFWRelativeSelfAttentionModule(
+                E, self.num_attn_heads, num_layers=4,
+                dropout=self.diffusion_dropout, use_adaln=True,
+            )
         self.rotation_proj = nn.Dense(E, name="rotation_proj")
-        self.rotation_self_attn = FFWRelativeSelfAttentionModule(
-            E, self.num_attn_heads, num_layers=2, dropout=self.diffusion_dropout,
-            use_adaln=True,
-        )
+        if self.lang_enhanced:
+            self.rotation_self_attn = FFWRelativeSelfCrossAttentionModule(
+                E, self.num_attn_heads, 2, 1, dropout=self.diffusion_dropout,
+                use_adaln=True,
+            )
+        else:
+            self.rotation_self_attn = FFWRelativeSelfAttentionModule(
+                E, self.num_attn_heads, num_layers=2,
+                dropout=self.diffusion_dropout, use_adaln=True,
+            )
         self.rotation_predictor = Mlp(E, self.rotation_dim, self.predictor_dropout)
         self.position_proj = nn.Dense(E, name="position_proj")
-        self.position_self_attn = FFWRelativeSelfAttentionModule(
-            E, self.num_attn_heads, num_layers=2, dropout=self.diffusion_dropout,
-            use_adaln=True,
-        )
+        if self.lang_enhanced:
+            self.position_self_attn = FFWRelativeSelfCrossAttentionModule(
+                E, self.num_attn_heads, 2, 1, dropout=self.diffusion_dropout,
+                use_adaln=True,
+            )
+        else:
+            self.position_self_attn = FFWRelativeSelfAttentionModule(
+                E, self.num_attn_heads, num_layers=2,
+                dropout=self.diffusion_dropout, use_adaln=True,
+            )
         self.position_predictor = Mlp(E, 3, self.predictor_dropout)
         self.openness_predictor = Mlp(E, 1, self.predictor_dropout)
         if self.predict_head_yaw:
@@ -180,26 +203,47 @@ class DiffusionHead(nn.Module):
         combined_mask = jnp.concatenate(
             [jnp.zeros((B, n_traj), dtype=bool), ~fps_mask], axis=1
         )
-        features = self.self_attn(
-            features,
-            diff_ts=time_embs,
-            query_pos=rel_pos,
-            key_padding_mask=combined_mask,
-            deterministic=deterministic,
-        )[-1]
+        if self.lang_enhanced:
+            features = self.self_attn(
+                features,
+                instr_feats,
+                diff_ts=time_embs,
+                query_pos=rel_pos,
+                deterministic=deterministic,
+            )[-1]
+        else:
+            features = self.self_attn(
+                features,
+                diff_ts=time_embs,
+                query_pos=rel_pos,
+                key_padding_mask=combined_mask,
+                deterministic=deterministic,
+            )[-1]
 
-        rot_feats = self.rotation_self_attn(
-            features, diff_ts=time_embs, query_pos=rel_pos,
-            key_padding_mask=combined_mask, deterministic=deterministic,
-        )[-1][:, :n_traj]
+        if self.lang_enhanced:
+            rot_feats = self.rotation_self_attn(
+                features, instr_feats, diff_ts=time_embs, query_pos=rel_pos,
+                deterministic=deterministic,
+            )[-1][:, :n_traj]
+        else:
+            rot_feats = self.rotation_self_attn(
+                features, diff_ts=time_embs, query_pos=rel_pos,
+                key_padding_mask=combined_mask, deterministic=deterministic,
+            )[-1][:, :n_traj]
         rotation = self.rotation_predictor(
             self.rotation_proj(rot_feats), deterministic
         )
 
-        pos_feats = self.position_self_attn(
-            features, diff_ts=time_embs, query_pos=rel_pos,
-            key_padding_mask=combined_mask, deterministic=deterministic,
-        )[-1][:, :n_traj]
+        if self.lang_enhanced:
+            pos_feats = self.position_self_attn(
+                features, instr_feats, diff_ts=time_embs, query_pos=rel_pos,
+                deterministic=deterministic,
+            )[-1][:, :n_traj]
+        else:
+            pos_feats = self.position_self_attn(
+                features, diff_ts=time_embs, query_pos=rel_pos,
+                key_padding_mask=combined_mask, deterministic=deterministic,
+            )[-1][:, :n_traj]
         pos_feats = self.position_proj(pos_feats)
         position = self.position_predictor(pos_feats, deterministic)
         openness = self.openness_predictor(pos_feats, deterministic)

@@ -241,6 +241,75 @@ class FFWRelativeSelfAttentionModule(nn.Module):
         return outputs
 
 
+class FFWRelativeSelfCrossAttentionModule(nn.Module):
+    """Self-attention layers with interleaved cross-attention to a context.
+
+    (reference layers.py:476-539) Cross layers sit at evenly spaced indices
+    among the self layers; both share the AdaLN timestep conditioning. Used
+    by the lang_enhanced diffusion head (context = language features).
+    """
+
+    embedding_dim: int
+    num_attn_heads: int
+    num_self_attn_layers: int
+    num_cross_attn_layers: int
+    dropout: float = 0.0
+    use_adaln: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        context: Optional[jnp.ndarray],
+        diff_ts: Optional[jnp.ndarray] = None,
+        query_pos: Optional[jnp.ndarray] = None,
+        context_pos: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        import numpy as np
+
+        cross_inds = np.linspace(
+            0, self.num_self_attn_layers, self.num_cross_attn_layers + 1,
+            dtype=np.int32,
+        ).tolist()
+        outputs = []
+        for i in range(self.num_self_attn_layers):
+            if i in cross_inds and context is not None:
+                cur_query_pos = None if context_pos is None else query_pos
+                query, _ = RelativeCrossAttentionLayer(
+                    self.embedding_dim,
+                    self.num_attn_heads,
+                    self.dropout,
+                    self.use_adaln,
+                    name=f"cross_{i}",
+                )(
+                    query,
+                    context,
+                    diff_ts,
+                    cur_query_pos,
+                    context_pos,
+                    key_padding_mask,
+                    deterministic,
+                )
+            query, _ = RelativeCrossAttentionLayer(
+                self.embedding_dim,
+                self.num_attn_heads,
+                self.dropout,
+                self.use_adaln,
+                name=f"self_{i}",
+            )(query, query, diff_ts, query_pos, query_pos, None, deterministic)
+            query = FeedforwardLayer(
+                self.embedding_dim,
+                self.embedding_dim,
+                self.dropout,
+                self.use_adaln,
+                name=f"ffw_{i}",
+            )(query, diff_ts, deterministic)
+            outputs.append(query)
+        return outputs
+
+
 class ParallelAttentionLayer(nn.Module):
     """Cross/self attention between two sequences.
 

@@ -382,6 +382,7 @@ def model_config_from_args(args: ModelArgs):
         quaternion_format=args.quaternion_format,
         diffusion_timesteps=args.diffusion_timesteps,
         relative=bool(args.relative_action),
+        lang_enhanced=bool(args.lang_enhanced),
         predict_head_yaw=predict_head_yaw,
         encoder_dropout=args.encoder_dropout,
         diffusion_dropout=args.diffusion_dropout,

@@ -147,3 +147,34 @@ def test_default_config_param_count():
     variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 1_500_000 < n_params < 6_000_000, n_params
+
+
+def test_instruction_and_lang_enhanced_path():
+    """Language conditioning: vision-language attention + lang_enhanced head."""
+    cfg = DiffuserActorConfig(
+        embedding_dim=24,
+        num_attn_heads=4,
+        data_type="mesh",
+        feature_type=FeatureExtractorType.RGB,
+        diffusion_timesteps=4,
+        fps_subsampling_factor=4,
+        use_instruction=True,
+        lang_enhanced=True,
+    )
+    model = DiffuserActor(cfg)
+    batch = make_batch("mesh")
+    rng = np.random.default_rng(9)
+    batch["instruction"] = jnp.asarray(
+        rng.normal(size=(2, 5, 512)), jnp.float32
+    )
+    prepared = prepare_inputs(batch, BOUNDS, cfg)
+    noisy = jnp.zeros((2, 1, 1, 9))
+    ts = jnp.zeros((2,), dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    losses = diffusion_train_loss(model, variables, prepared, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total"]))
+    traj, _, _ = sample_trajectory(
+        model, variables, prepared, jax.random.PRNGKey(2), BOUNDS
+    )
+    assert traj.shape == (2, 1, 1, 8)
+    assert np.all(np.isfinite(np.asarray(traj)))
