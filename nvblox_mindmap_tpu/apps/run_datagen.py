@@ -18,7 +18,7 @@ import os
 import numpy as np
 
 from nvblox_mindmap_tpu.closed_loop.environment import ReplayEnvironment
-from nvblox_mindmap_tpu.closed_loop.policies import _pose7_to_matrix
+from nvblox_mindmap_tpu.geometry.np_rotations import pose7_to_matrix
 from nvblox_mindmap_tpu.data.dataset import get_demo_paths
 from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
 from nvblox_mindmap_tpu.embodiments.registry import make_embodiment_for_task
@@ -65,7 +65,7 @@ def process_demo(
                     frame.depth,
                     features,
                     frame.intrinsics,
-                    _pose7_to_matrix(frame.pose7),
+                    pose7_to_matrix(frame.pose7),
                     frame.rgb,
                     input_mask=np.ones(frame.depth.shape, dtype=bool),
                     input_mask_erosion_iterations=(

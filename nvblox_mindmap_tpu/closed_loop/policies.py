@@ -34,6 +34,7 @@ from nvblox_mindmap_tpu.models.diffuser_actor import (
     prepare_inputs,
     sample_trajectory,
 )
+from nvblox_mindmap_tpu.geometry.np_rotations import pose7_to_matrix
 from nvblox_mindmap_tpu.ops.backprojection import get_camera_pointcloud
 
 
@@ -141,7 +142,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         self.mapper.decay()
         for frame in env.get_cameras().values():
             features = self.feature_fn(frame.rgb)
-            T_WC = _pose7_to_matrix(frame.pose7)
+            T_WC = pose7_to_matrix(frame.pose7)
             integrate_frame(
                 self.mapper,
                 self.mapping_config,
@@ -268,12 +269,4 @@ def trajectory_to_policy_states(
     return goals
 
 
-def _pose7_to_matrix(pose7: np.ndarray) -> np.ndarray:
-    from nvblox_mindmap_tpu.geometry.np_rotations import quat_to_matrix
 
-    T = np.eye(4, dtype=np.float32)
-    T[:3, :3] = quat_to_matrix(np.asarray(pose7[3:7], dtype=np.float64)).astype(
-        np.float32
-    )
-    T[:3, 3] = pose7[:3]
-    return T

@@ -66,3 +66,13 @@ def quat_to_matrix(q: np.ndarray) -> np.ndarray:
         axis=-1,
     )
     return o.reshape(q.shape[:-1] + (3, 3))
+
+
+def pose7_to_matrix(pose7: np.ndarray) -> np.ndarray:
+    """(7,) pos + wxyz quaternion -> (4, 4) homogeneous transform."""
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = quat_to_matrix(np.asarray(pose7[3:7], dtype=np.float64)).astype(
+        np.float32
+    )
+    T[:3, 3] = pose7[:3]
+    return T
