@@ -53,6 +53,7 @@ def run_inference(infer, model, params, batch: Dict, bounds, key
     """One inference call + metrics vs the GT keypose."""
     cfg = model.config
     traj, head_yaw, weights = infer(params, batch, key)
+    result_weights = np.asarray(weights)
     gt = jnp.concatenate(
         [batch["gt_gripper_pred"][..., :7], batch["gt_gripper_pred"][..., 7:]], axis=-1
     )
@@ -66,6 +67,7 @@ def run_inference(infer, model, params, batch: Dict, bounds, key
     )
     return {
         "trajectory": np.asarray(traj),
+        "attention_weights": result_weights,
         "metrics": {k: np.asarray(v) for k, v in jax.device_get(metrics).items()},
     }
 
@@ -121,10 +123,15 @@ def main(argv=None):
     metric_sums: Dict[str, np.ndarray] = {}
     count = 0
     infer = make_infer_fn(model, bounds)
+    pca_projection = None
     for i, batch in enumerate(loader):
         result = run_inference(
             infer, model, params, _to_device(batch), bounds, jax.random.PRNGKey(i)
         )
+        if args.ply_output_dir and batch.get("vertices") is not None:
+            pca_projection = _export_sample_ply(
+                args.ply_output_dir, i, batch, result, pca_projection
+            )
         for k, v in result["metrics"].items():
             metric_sums[k] = metric_sums.get(k, 0.0) + v
         count += 1
@@ -132,6 +139,41 @@ def main(argv=None):
     logger.info("Open-loop metrics over %d samples:\n%s", count,
                 json.dumps(means, indent=2, default=str))
     return means
+
+
+def _export_sample_ply(output_dir, idx, batch, result, pca_projection):
+    """Write feature-PCA and attention-colored context clouds + prediction."""
+    import os
+
+    from nvblox_mindmap_tpu.visualization.visualizer import (
+        attention_to_colors,
+        save_feature_pointcloud_ply,
+        save_pointcloud_ply,
+    )
+
+    os.makedirs(output_dir, exist_ok=True)
+    vertices = np.asarray(batch["vertices"][0])
+    features = np.asarray(batch["vertex_features"][0])
+    pca_projection = save_feature_pointcloud_ply(
+        os.path.join(output_dir, f"sample_{idx:04d}_features.ply"),
+        vertices,
+        features,
+        pca_projection,
+    )
+    weights = np.asarray(result["attention_weights"])[0].mean(axis=0)
+    # Attention weights cover the context tokens; for mesh mode that's the
+    # vertex set.
+    n = min(len(weights), len(vertices))
+    save_pointcloud_ply(
+        os.path.join(output_dir, f"sample_{idx:04d}_attention.ply"),
+        vertices[:n],
+        attention_to_colors(weights[:n]),
+    )
+    pred = np.asarray(result["trajectory"])[0, :, :, :3].reshape(-1, 3)
+    save_pointcloud_ply(
+        os.path.join(output_dir, f"sample_{idx:04d}_prediction.ply"), pred
+    )
+    return pca_projection
 
 
 def _to_device(batch):

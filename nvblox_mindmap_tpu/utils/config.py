@@ -191,6 +191,9 @@ class DataGenAppArgs(ModelArgs, SimulationArgs, SystemArgs, DataGenArgs):
 @dataclasses.dataclass
 class OpenLoopAppArgs(ModelArgs, SystemArgs):
     demos_open_loop: str = "0"
+    # Headless visualization: write per-sample PLY clouds here when set
+    # (feature-PCA colors + prediction attention colors).
+    ply_output_dir: Optional[str] = None
 
     def process_args(self):
         pass

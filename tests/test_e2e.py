@@ -71,3 +71,28 @@ def test_training_app_e2e(dataset_dir, tmp_path):
     )
     assert "distance_m" in means
     assert np.isfinite(means["distance_m"])
+
+
+def test_open_loop_ply_export(dataset_dir, tmp_path):
+    """Open loop writes feature/attention/prediction PLY clouds."""
+    from nvblox_mindmap_tpu.apps.run_open_loop_policy import main as open_loop_main
+
+    ply_dir = str(tmp_path / "ply")
+    open_loop_main(
+        [
+            "--dataset", dataset_dir,
+            "--task", "cube_stacking",
+            "--data_type", "mesh",
+            "--feature_type", "rgb",
+            "--demos_open_loop", "0",
+            "--only_sample_keyposes", "1",
+            "--embedding_dim", "24",
+            "--diffusion_timesteps", "4",
+            "--fps_subsampling_factor", "4",
+            "--num_vertices_to_sample", "64",
+            "--ply_output_dir", ply_dir,
+        ]
+    )
+    assert os.path.exists(os.path.join(ply_dir, "sample_0000_features.ply"))
+    assert os.path.exists(os.path.join(ply_dir, "sample_0000_attention.ply"))
+    assert os.path.exists(os.path.join(ply_dir, "sample_0000_prediction.ply"))
