@@ -147,7 +147,9 @@ def unpack_batch(
 
     if includes_mesh(data_type):
         mesh = batch[NVBLOX_VERTEX_FEATURES_ITEM_NAME]
-        samples["vertex_features"] = mesh["features"].astype(np.float32)
+        # Keep features fp16 (their on-disk dtype): halves the host->device
+        # feed volume; the model's embedding matmul upcasts on device.
+        samples["vertex_features"] = mesh["features"].astype(np.float16)
         samples["vertices"] = mesh["vertices"].astype(np.float32)
         samples["vertices_valid_mask"] = mesh["vertices_valid_mask"]
 

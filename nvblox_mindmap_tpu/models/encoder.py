@@ -148,7 +148,8 @@ class Encoder(nn.Module):
             encoder = self.image_feature_encoder
         else:
             encoder = self.reconstruction_encoder
-        return encoder(features).astype(jnp.float32), points
+        # fp16 features from the feed upcast here (device-side).
+        return encoder(features.astype(jnp.float32)), points
 
     def encode_gripper_history(
         self,

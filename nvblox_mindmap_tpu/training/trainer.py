@@ -104,7 +104,7 @@ def make_train_batch_template(
     if config.data_type in ("mesh", "rgbd_and_mesh"):
         batch["vertices"] = np.zeros((batch_size, n_vertices, 3), np.float32)
         batch["vertex_features"] = np.zeros(
-            (batch_size, n_vertices, feature_dim), np.float32
+            (batch_size, n_vertices, feature_dim), np.float16
         )
         batch["vertices_valid_mask"] = np.ones((batch_size, n_vertices), bool)
     if config.data_type in ("rgbd", "rgbd_and_mesh"):
@@ -261,12 +261,16 @@ class Trainer:
         return eval_step
 
     # --- public API ----------------------------------------------------------
-    def train_one_step(self, params, opt_state, batch, step: int):
+    def train_one_step(self, params, opt_state, batch, step: int,
+                       on_device: bool = False):
         if self._train_step is None:
             self._train_step = self._build_train_step(params)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), step)
-        with Timer("step/train/shard_batch"):
-            device_batch = shard_batch(batch, self.mesh)
+        if on_device:
+            device_batch = batch
+        else:
+            with Timer("step/train/shard_batch"):
+                device_batch = shard_batch(batch, self.mesh)
         with Timer("step/train/compute"):
             params, opt_state, losses = self._train_step(
                 params, opt_state, device_batch, rng
@@ -339,6 +343,7 @@ class Trainer:
         train_epoch_length = len(train_loader)
         assert train_epoch_length > 0, "Train loader contains less than one batch."
         train_iter = None
+        next_device_batch = None
         step = start_iter
         while step < cfg.train_iters:
             epoch_idx = step // train_epoch_length
@@ -348,16 +353,26 @@ class Trainer:
                 ):
                     train_loader.sampler.set_epoch(epoch_idx)
                 train_iter = iter(train_loader)
+                next_device_batch = None
             step_timer = Timer("step")
             with Timer("step/load_batch"):
+                # One-batch-ahead device prefetch: device_put is async, so
+                # the host->device transfer of the NEXT batch overlaps this
+                # step's compute.
+                if next_device_batch is None:
+                    try:
+                        next_device_batch = shard_batch(next(train_iter), self.mesh)
+                    except StopIteration:
+                        train_iter = iter(train_loader)
+                        next_device_batch = shard_batch(next(train_iter), self.mesh)
+                device_batch = next_device_batch
                 try:
-                    batch = next(train_iter)
+                    next_device_batch = shard_batch(next(train_iter), self.mesh)
                 except StopIteration:
-                    train_iter = iter(train_loader)
-                    batch = next(train_iter)
+                    next_device_batch = None
             with Timer("step/train"):
                 params, opt_state, losses = self.train_one_step(
-                    params, opt_state, batch, step
+                    params, opt_state, device_batch, step, on_device=True
                 )
             if (step + 1) % cfg.val_freq == 0 and self.metric_logger is not None:
                 if jax.process_index() == 0:
