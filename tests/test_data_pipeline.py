@@ -245,3 +245,34 @@ def test_weighted_sampler_respects_weights():
     s = WeightedEpochSampler(weights, num_samples=1000, replacement=True, seed=0)
     counts = np.bincount(list(iter(s)), minlength=4)
     assert counts[0] > 900
+
+
+def test_sharded_weighted_sampling_equals_unsharded():
+    """Shards of the weighted (replacement) stream reproduce the global draw
+    (reference: tests/test_distributed_sampling.py semantics)."""
+    weights = np.random.default_rng(0).uniform(0.1, 2.0, size=97)
+    full = WeightedEpochSampler(weights, replacement=True, seed=13)
+    full.set_epoch(2)
+    global_order = list(iter(full))
+    shards = []
+    for i in range(4):
+        s = WeightedEpochSampler(weights, replacement=True, seed=13,
+                                 num_shards=4, shard_index=i)
+        s.set_epoch(2)
+        shards.append(list(iter(s)))
+    # Interleaving the shards reconstructs the (tail-dropped) global order.
+    usable = (len(global_order) // 4) * 4
+    reconstructed = [0] * usable
+    for i, shard in enumerate(shards):
+        reconstructed[i::4] = shard
+    assert reconstructed == global_order[:usable]
+
+
+def test_system_utils():
+    from nvblox_mindmap_tpu.utils.system import (
+        get_process_memory_mb,
+        get_shmem_usage_mb,
+    )
+
+    assert get_process_memory_mb() > 10  # this process uses real memory
+    assert get_shmem_usage_mb() >= 0
