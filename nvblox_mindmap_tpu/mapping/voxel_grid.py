@@ -20,6 +20,14 @@ touches, with donation on the mutated ones. Funneling the whole state pytree
 through every op would force the runtime to shuttle the (hundreds of MB)
 feature pool across each call boundary even for a TSDF-only update.
 
+Why XLA and not Pallas here: the integrators are image-gather kernels (every
+voxel gathers its depth/feature pixel at a data-dependent index). Mosaic's
+gather lowering only supports same-shape single-axis gathers, while XLA's
+native TPU gather handles this pattern directly - and the fused fuse_frame
+program already runs at >1 kHz per frame (HBM-bound, ~roofline for the
+traffic involved). The Pallas budget goes to attention instead
+(ops/flash_attention.py).
+
 Shapes are static; the voxel grid shape comes from MappingConfig.grid_shape.
 """
 from __future__ import annotations

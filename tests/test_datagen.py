@@ -35,3 +35,48 @@ def test_datagen_produces_feature_meshes(tmp_path):
     assert mesh["channel_length"] == 3  # RGB features
     assert mesh["vertices"].dtype == np.float16
     assert mesh["features"].shape[1] == 3
+
+
+def test_datagen_deterministic_regression(tmp_path):
+    """Two datagen runs over the same raw frames produce matching datasets."""
+    from nvblox_mindmap_tpu.apps.run_datagen import main as datagen_main
+    from nvblox_mindmap_tpu.data.comparisons import datasets_are_close
+
+    dirs = []
+    for name in ("a", "b"):
+        root = tmp_path / name
+        demo = root / "demo_00000"
+        write_arm_demo(str(demo), seed=0)
+        for p in glob.glob(str(demo / "*.nvblox_vertex_features.zst")):
+            os.remove(p)
+        datagen_main(
+            [
+                "--task", "cube_stacking",
+                "--output_dir", str(root),
+                "--demos_datagen", "0",
+                "--feature_type", "rgb",
+                "--voxel_size_m", "0.04",
+                "--max_num_steps", "3",
+            ]
+        )
+        dirs.append(str(demo))
+    close, mismatches = datasets_are_close(dirs[0], dirs[1])
+    assert close, mismatches
+
+
+def test_datasets_are_close_detects_drift(tmp_path):
+    from nvblox_mindmap_tpu.data.comparisons import datasets_are_close
+
+    a = tmp_path / "a" / "demo_00000"
+    b = tmp_path / "b" / "demo_00000"
+    write_arm_demo(str(a), n_frames=120, seed=0)
+    write_arm_demo(str(b), n_frames=120, seed=0)
+    close, _ = datasets_are_close(str(a), str(b))
+    assert close
+    # Perturb one robot state.
+    path = str(b / "5.robot_state.npy")
+    state = np.load(path)
+    state[0] += 0.5
+    np.save(path, state)
+    close, mismatches = datasets_are_close(str(a), str(b))
+    assert not close and "5.robot_state.npy" in mismatches
