@@ -143,18 +143,31 @@ def _bench_fusion_hz() -> float:
     return n / (time.perf_counter() - t0)
 
 
-def _run_in_subprocess(what: str) -> list:
-    """Run one measurement in a clean process (device state isolation)."""
+def _run_in_subprocess(what: str, retries: int = 2) -> list:
+    """Run one measurement in a clean process (device state isolation).
+
+    The TPU tunnel occasionally degrades/fails transiently; retry fresh.
+    """
     import subprocess
     import sys
 
-    out = subprocess.run(
-        [sys.executable, __file__, "--measure", what],
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    return [float(v) for v in out.stdout.strip().splitlines()[-1].split()]
+    last_err = None
+    for _ in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, __file__, "--measure", what],
+            capture_output=True,
+            text=True,
+        )
+        if out.returncode == 0:
+            try:
+                return [
+                    float(v) for v in out.stdout.strip().splitlines()[-1].split()
+                ]
+            except (ValueError, IndexError) as e:
+                last_err = e
+        else:
+            last_err = RuntimeError(out.stderr[-2000:])
+    raise RuntimeError(f"benchmark '{what}' failed: {last_err}")
 
 
 if __name__ == "__main__":
