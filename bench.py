@@ -20,7 +20,21 @@ import time
 import numpy as np
 
 
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat driver runs skip the ~4-min
+    first compile of the flagship programs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
 def main():
+    _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
