@@ -119,7 +119,16 @@ def main():
             times.append(time.perf_counter() - t0)
         return float(np.percentile(times, 50) * 1000)
 
-    return measure(predict), measure(predict_ddim)
+    def measure_throughput(fn, n=20):
+        # Pipelined (async-dispatch) per-call time: the pure device cost,
+        # without the per-call host sync round trip.
+        jax.block_until_ready(fn(params, batch, jax.random.PRNGKey(0)))
+        t0 = time.perf_counter()
+        outs = [fn(params, batch, jax.random.PRNGKey(i)) for i in range(n)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / n * 1000
+
+    return measure(predict), measure(predict_ddim), measure_throughput(predict)
 
 
 def _bench_fusion_hz() -> float:
@@ -190,12 +199,12 @@ if __name__ == "__main__":
     if "--measure" in sys.argv:
         what = sys.argv[sys.argv.index("--measure") + 1]
         if what == "keypose":
-            ddpm_ms, ddim_ms = main()
-            print(ddpm_ms, ddim_ms)
+            ddpm_ms, ddim_ms, pipelined_ms = main()
+            print(ddpm_ms, ddim_ms, pipelined_ms)
         else:
             print(_bench_fusion_hz())
     else:
-        p50_ms, ddim_ms = _run_in_subprocess("keypose")
+        p50_ms, ddim_ms, pipelined_ms = _run_in_subprocess("keypose")
         (fusion_hz,) = _run_in_subprocess("fusion")
         print(
             json.dumps(
@@ -205,6 +214,7 @@ if __name__ == "__main__":
                     "unit": "ms",
                     "vs_baseline": round(100.0 / p50_ms, 3),
                     "ddim10_latency_ms": round(ddim_ms, 3),
+                    "pipelined_keypose_ms": round(pipelined_ms, 3),
                     "fusion_hz": round(fusion_hz, 1),
                     "fusion_hz_vs_target": round(fusion_hz / 30.0, 2),
                 }
