@@ -274,3 +274,54 @@ def get_data_loader_by_data_type(
         sampler=sampler,
     )
     return loader, sampler
+
+
+def get_data_loader_without_augmentations(
+    embodiment: EmbodimentBase,
+    dataset_path: str,
+    demos: str,
+    num_workers: int,
+    batch_size: int,
+    use_keyposes: bool,
+    data_type: DataType,
+    extra_keyposes_around_grasp_events: Sequence[int],
+    keypose_detection_mode: KeyposeDetectionMode,
+    num_history: int,
+    prediction_horizon: int,
+    add_external_cam: bool = False,
+    num_vertices_to_sample: Optional[int] = None,
+    vertex_sampling_method: Optional[VertexSamplingMethod] = None,
+    sampling_weighting_type: SamplingWeightingType = SamplingWeightingType.UNIFORM,
+    include_failed_demos: bool = False,
+    rgbd_min_depth_threshold: float = 0.0,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    seed: int = 0,
+):
+    """Evaluation loader with all augmentations disabled (reference:
+    data_loading/dataset_files_by_encoding_method.py:154-205)."""
+    return get_data_loader_by_data_type(
+        embodiment=embodiment,
+        dataset_path=dataset_path,
+        demos=demos,
+        num_workers=num_workers,
+        batch_size=batch_size,
+        use_keyposes=use_keyposes,
+        data_type=data_type,
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=extra_keyposes_around_grasp_events,
+        keypose_detection_mode=keypose_detection_mode,
+        include_failed_demos=include_failed_demos,
+        sampling_weighting_type=sampling_weighting_type,
+        num_history=num_history,
+        prediction_horizon=prediction_horizon,
+        apply_random_transforms=False,
+        apply_geometry_noise=False,
+        add_external_cam=add_external_cam,
+        num_vertices_to_sample=num_vertices_to_sample,
+        vertex_sampling_method=vertex_sampling_method,
+        rgbd_min_depth_threshold=rgbd_min_depth_threshold,
+        num_shards=num_shards,
+        shard_index=shard_index,
+        seed=seed,
+    )
