@@ -117,6 +117,7 @@ def main(argv=None):
         print_progress_freq=args.print_progress_freq,
         save_checkpoint=args.save_checkpoint,
         checkpoint_dir=checkpoint_dir,
+        checkpoint_backend=args.checkpoint_backend,
         seed=args.seed,
     )
 

@@ -70,6 +70,8 @@ class TrainerConfig:
     print_progress_freq: int = 100
     save_checkpoint: bool = True
     checkpoint_dir: str = "checkpoints"
+    # "msgpack" (single portable file) or "orbax" (async, sharded-array-aware).
+    checkpoint_backend: str = "msgpack"
     seed: int = 0
     set_epoch_every: int = 5
 
@@ -129,6 +131,12 @@ class Trainer:
         self.metric_logger = metric_logger
         self.model_config = model_config
         self.config = trainer_config
+        if trainer_config.checkpoint_backend not in ("msgpack", "orbax"):
+            raise ValueError(
+                f"Unknown checkpoint_backend "
+                f"{trainer_config.checkpoint_backend!r}; "
+                "expected 'msgpack' or 'orbax'"
+            )
         self.workspace_bounds = jnp.asarray(workspace_bounds, dtype=jnp.float32)
         self.model = DiffuserActor(model_config)
         if mesh is None:
@@ -141,6 +149,7 @@ class Trainer:
         self.mesh = mesh
         self._train_step = None
         self._eval_step = None
+        self._orbax = None
 
     # --- setup ---------------------------------------------------------------
     def init_state(self, batch_template: Dict[str, Any], rng: Optional[jax.Array] = None):
@@ -409,8 +418,8 @@ class Trainer:
                     split="val",
                 )
                 if cfg.save_checkpoint and jax.process_index() == 0:
-                    best_loss = save_checkpoint(
-                        cfg.checkpoint_dir, params, opt_state, step, new_loss, best_loss
+                    best_loss = self._save_best_and_last(
+                        cfg, params, opt_state, step, new_loss, best_loss
                     )
                     if args_dict is not None:
                         save_training_args(cfg.checkpoint_dir, args_dict)
@@ -418,7 +427,26 @@ class Trainer:
             if step % cfg.print_timers_freq == 0 and step > 0:
                 logger.info("\n%s", timer_status_string())
             step += 1
+        if self._orbax is not None:
+            self._orbax.wait()
         return params, opt_state, best_loss
+
+    def _save_best_and_last(self, cfg, params, opt_state, step, new_loss,
+                            best_loss):
+        """Write best/last via the configured backend (msgpack or orbax)."""
+        if cfg.checkpoint_backend == "orbax":
+            if self._orbax is None:
+                from nvblox_mindmap_tpu.training.orbax_checkpoint import (
+                    OrbaxCheckpointer,
+                )
+                self._orbax = OrbaxCheckpointer(cfg.checkpoint_dir)
+            return self._orbax.save_best_and_last(
+                jax.device_get(params), jax.device_get(opt_state),
+                step, new_loss, best_loss,
+            )
+        return save_checkpoint(
+            cfg.checkpoint_dir, params, opt_state, step, new_loss, best_loss
+        )
 
     def load_checkpoint(self, path: str, batch_template: Dict[str, Any]):
         params, opt_state = self.init_state(batch_template)

@@ -148,6 +148,7 @@ class TrainingAppArgs(ModelArgs, SystemArgs, DataGenArgs):
     max_episodes_per_task: int = 100
     eval_only: bool = False
     save_checkpoint: bool = True
+    checkpoint_backend: str = "msgpack"  # or "orbax" (async writes)
     demos_train: str = "0"
     demos_valset: Optional[str] = None
     include_failed_demos: bool = False

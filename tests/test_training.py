@@ -193,3 +193,33 @@ def test_frozen_mask_shapes():
     assert mask["encoder"]["feature_extractor"]["backbone"]["kernel"] is False
     assert mask["encoder"]["feature_extractor"]["fpn"]["kernel"] is True
     assert mask["encoder"]["other"]["kernel"] is True
+
+
+def test_trainer_orbax_backend(tmp_path):
+    """checkpoint_backend='orbax' writes best/last via _save_best_and_last."""
+    import os
+
+    from nvblox_mindmap_tpu.training.orbax_checkpoint import OrbaxCheckpointer
+
+    model_cfg, trainer_cfg = small_configs(tmp_path)
+    trainer_cfg.checkpoint_backend = "orbax"
+    trainer = Trainer(model_cfg, trainer_cfg, BOUNDS)
+    template = make_train_batch_template(model_cfg, batch_size=8)
+    params, opt_state = trainer.init_state(template)
+
+    best = trainer._save_best_and_last(
+        trainer_cfg, params, opt_state, 3, 0.7, None
+    )
+    assert best == 0.7
+    trainer._orbax.wait()
+    assert os.path.isdir(os.path.join(trainer_cfg.checkpoint_dir, "best"))
+    assert os.path.isdir(os.path.join(trainer_cfg.checkpoint_dir, "last"))
+
+    ckptr = OrbaxCheckpointer(trainer_cfg.checkpoint_dir, async_write=False)
+    p_t, o_t = jax.device_get((params, opt_state))
+    params2, _, step, best_loss = ckptr.restore("best", p_t, o_t)
+    assert step == 3 and best_loss == 0.7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_t), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(a, b)
