@@ -94,6 +94,17 @@ def voxel_centers_flat(config: MappingConfig) -> jnp.ndarray:
     return origin + (idx + 0.5) * config.voxel_size_m
 
 
+def get_voxel_center_grids(config: MappingConfig) -> jnp.ndarray:
+    """(X, Y, Z, 3) world coordinates of every voxel center.
+
+    Grid-shaped counterpart of voxel_centers_flat; mirrors
+    nvblox_torch.indexing.get_voxel_center_grids (reference:
+    paper/utils/utils.py:16-18, visualization/visualizer.py usage).
+    """
+    X, Y, Z = config.grid_shape
+    return voxel_centers_flat(config).reshape(X, Y, Z, 3)
+
+
 def _project(
     points_w: jnp.ndarray, T_WC: jnp.ndarray, K: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

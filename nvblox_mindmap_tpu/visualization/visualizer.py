@@ -44,6 +44,49 @@ def save_pointcloud_ply(
                 f.write(f"{p[0]} {p[1]} {p[2]}\n")
 
 
+def get_voxel_mesh(
+    centers: np.ndarray,
+    voxel_size_m: float,
+    colors: Optional[np.ndarray] = None,
+):
+    """Cube mesh for a set of voxel centers.
+
+    Equivalent of nvblox_torch.visualization.get_voxel_mesh (reference:
+    paper/utils/utils.py:16-18): each (N, 3) center becomes an axis-aligned
+    cube of edge voxel_size_m. Returns (vertices (8N, 3), triangles (12N, 3),
+    vertex_colors (8N, 3) or None) - feed to save_mesh_ply for viewing.
+    """
+    centers = np.asarray(centers, dtype=np.float32).reshape(-1, 3)
+    n = centers.shape[0]
+    h = 0.5 * float(voxel_size_m)
+    corner = np.array(
+        [[sx, sy, sz] for sx in (-h, h) for sy in (-h, h) for sz in (-h, h)],
+        dtype=np.float32,
+    )  # (8, 3), ordered (---,--+,-+-,-++,+--,+-+,++-,+++)
+    vertices = (centers[:, None, :] + corner[None, :, :]).reshape(-1, 3)
+    # 12 triangles per cube over the corner ordering above (outward winding).
+    face = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # -x
+            [4, 6, 7], [4, 7, 5],  # +x
+            [0, 4, 5], [0, 5, 1],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 2, 6], [0, 6, 4],  # -z
+            [1, 5, 7], [1, 7, 3],  # +z
+        ],
+        dtype=np.int64,
+    )
+    triangles = (face[None, :, :] + 8 * np.arange(n)[:, None, None]).reshape(
+        -1, 3
+    )
+    vertex_colors = None
+    if colors is not None:
+        vertex_colors = np.repeat(
+            np.asarray(colors, dtype=np.float32).reshape(-1, 3), 8, axis=0
+        )
+    return vertices, triangles, vertex_colors
+
+
 def save_feature_pointcloud_ply(
     path: str,
     points: np.ndarray,

@@ -99,3 +99,52 @@ def test_depth_noise():
     assert (noisy == 0).sum() > 0  # some dropouts
     valid = noisy[noisy > 0]
     assert abs(valid.mean() - 1.0) < 0.01
+
+
+def test_voxel_mesh(tmp_path):
+    """get_voxel_mesh makes one closed cube per center; PLY roundtrip."""
+    from nvblox_mindmap_tpu.mapping.surface_nets import save_mesh_ply
+    from nvblox_mindmap_tpu.visualization.visualizer import get_voxel_mesh
+
+    centers = np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]])
+    colors = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    verts, tris, vcols = get_voxel_mesh(centers, 0.1, colors)
+    assert verts.shape == (16, 3) and tris.shape == (24, 3)
+    assert vcols.shape == (16, 3)
+    # Cube 0 spans +/- 0.05 around the origin.
+    np.testing.assert_allclose(verts[:8].min(0), [-0.05] * 3)
+    np.testing.assert_allclose(verts[:8].max(0), [0.05] * 3)
+    # Every triangle indexes within its own cube's 8 vertices.
+    assert (tris[:12] < 8).all() and (tris[12:] >= 8).all()
+    # Each cube face set covers all 8 corners; closed surface => every
+    # undirected edge is shared by exactly 2 triangles.
+    edges = {}
+    for t in tris[:12]:
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edges[frozenset((a, b))] = edges.get(frozenset((a, b)), 0) + 1
+    assert all(v == 2 for v in edges.values())
+    path = str(tmp_path / "voxels.ply")
+    save_mesh_ply(path, verts, tris, vcols)
+    assert os.path.getsize(path) > 0
+
+
+def test_voxel_center_grids():
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+    from nvblox_mindmap_tpu.mapping.voxel_grid import (
+        get_voxel_center_grids,
+        voxel_centers_flat,
+    )
+
+    cfg = MappingConfig.for_task(Tasks.CUBE_STACKING, feature_dim=8)
+    grids = np.asarray(get_voxel_center_grids(cfg))
+    assert grids.shape == cfg.grid_shape + (3,)
+    np.testing.assert_allclose(
+        grids.reshape(-1, 3), np.asarray(voxel_centers_flat(cfg))
+    )
+    # First center is half a voxel inside the AABB min corner.
+    np.testing.assert_allclose(
+        grids[0, 0, 0],
+        np.asarray(cfg.aabb_min_m) + 0.5 * cfg.voxel_size_m,
+        atol=1e-6,
+    )
