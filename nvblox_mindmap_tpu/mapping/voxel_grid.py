@@ -440,18 +440,43 @@ def _extract_surface_jit(
     valid = flags[sel]
     vertices = jnp.where(valid[:, None], positions[sel], 0.0)
 
-    # Feature lookup: voxel -> block -> page -> slot.
-    vox_flat = sel % (X * Y * Z)
+    # Feature lookup: voxel -> block -> page -> slot, for both edge
+    # endpoints, blended by the zero-crossing position (the reference's
+    # marching-cubes mesh interpolates per-vertex features the same way).
     b = config.block_size
+
+    def lookup(vx, vy, vz):
+        page = page_table[vx // b, vy // b, vz // b]
+        slot = ((vx % b) * b + (vy % b)) * b + (vz % b)
+        safe_page = jnp.maximum(page, 0)
+        f = feat[safe_page, slot].astype(jnp.float32)
+        ok = (page >= 0) & (feat_weight[safe_page, slot] > 0)
+        return f, ok
+
+    axis_id = sel // (X * Y * Z)
+    vox_flat = sel % (X * Y * Z)
     vx = vox_flat // (Y * Z)
     vy = (vox_flat // Z) % Y
     vz = vox_flat % Z
-    page = page_table[vx // b, vy // b, vz // b]
-    slot = ((vx % b) * b + (vy % b)) * b + (vz % b)
-    safe_page = jnp.maximum(page, 0)
-    feats = feat[safe_page, slot].astype(jnp.float32)
-    has_feat = (page >= 0) & (feat_weight[safe_page, slot] > 0)
-    features = jnp.where(has_feat[:, None] & valid[:, None], feats, 0.0)
+    nx = jnp.minimum(vx + (axis_id == 0), X - 1)
+    ny = jnp.minimum(vy + (axis_id == 1), Y - 1)
+    nz = jnp.minimum(vz + (axis_id == 2), Z - 1)
+    f0, ok0 = lookup(vx, vy, vz)
+    f1, ok1 = lookup(nx, ny, nz)
+    t0 = tsdf[vx, vy, vz]
+    t1 = tsdf[nx, ny, nz]
+    denom = t0 - t1
+    alpha = jnp.clip(
+        jnp.where(jnp.abs(denom) > 1e-9, t0 / denom, 0.5), 0.0, 1.0
+    )
+    w0 = jnp.where(ok0, 1.0 - alpha, 0.0)
+    w1 = jnp.where(ok1, alpha, 0.0)
+    wsum = w0 + w1
+    blended = (w0[:, None] * f0 + w1[:, None] * f1) / jnp.maximum(
+        wsum[:, None], 1e-9
+    )
+    has_feat = wsum > 0
+    features = jnp.where(has_feat[:, None] & valid[:, None], blended, 0.0)
     return vertices, features, valid
 
 

@@ -217,3 +217,46 @@ def test_fuse_frame_matches_sequential():
     np.testing.assert_allclose(np.asarray(fused.tsdf), np.asarray(seq.tsdf))
     np.testing.assert_allclose(np.asarray(fused.feat), np.asarray(seq.feat))
     assert int(fused.num_pages) == int(seq.num_pages)
+
+
+def test_surface_feature_edge_blending():
+    """Vertex features blend the two edge endpoints by crossing position."""
+    import dataclasses
+
+    cfg = small_config(feature_dim=4)
+    state = vg.create_state(cfg)
+    b = cfg.block_size
+    # Zero crossing between (10,10,10) t=+0.005 and (10,10,11) t=-0.015:
+    # alpha = 0.005 / 0.02 = 0.25.
+    tsdf = state.tsdf.at[10, 10, 10].set(0.005).at[10, 10, 11].set(-0.015)
+    weight = state.weight.at[10, 10, 10].set(1.0).at[10, 10, 11].set(1.0)
+    page_table = state.page_table.at[10 // b, 10 // b, 10 // b].set(0)
+    slot0 = ((10 % b) * b + (10 % b)) * b + (10 % b)
+    slot1 = ((10 % b) * b + (10 % b)) * b + (11 % b)
+    f0 = np.array([1.0, 0.0, 2.0, 0.0], np.float16)
+    f1 = np.array([0.0, 1.0, 0.0, 2.0], np.float16)
+    feat = state.feat.at[0, slot0].set(f0).at[0, slot1].set(f1)
+    feat_weight = state.feat_weight.at[0, slot0].set(1.0).at[0, slot1].set(1.0)
+    state = dataclasses.replace(
+        state, tsdf=tsdf, weight=weight, page_table=page_table,
+        feat=feat, feat_weight=feat_weight,
+        num_pages=jnp.ones((), jnp.int32),
+    )
+    verts, feats, valid = vg.extract_surface_vertices(state, cfg, 16)
+    n = int(np.asarray(valid).sum())
+    assert n == 1
+    v = np.asarray(verts)[np.asarray(valid)][0]
+    f = np.asarray(feats)[np.asarray(valid)][0]
+    centers = np.asarray(vg.get_voxel_center_grids(cfg))
+    np.testing.assert_allclose(
+        v, centers[10, 10, 10] + [0, 0, 0.25 * cfg.voxel_size_m], atol=1e-6
+    )
+    np.testing.assert_allclose(f, 0.75 * f0 + 0.25 * f1, atol=1e-3)
+
+    # Neighbor without features: falls back to the near endpoint alone.
+    state2 = dataclasses.replace(
+        state, feat_weight=state.feat_weight.at[0, slot1].set(0.0)
+    )
+    _, feats2, valid2 = vg.extract_surface_vertices(state2, cfg, 16)
+    f2 = np.asarray(feats2)[np.asarray(valid2)][0]
+    np.testing.assert_allclose(f2, f0, atol=1e-3)
