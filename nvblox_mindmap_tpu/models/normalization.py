@@ -11,6 +11,14 @@ Semantics match the reference (mindmap/model_utils/normalization.py):
 All functions are pure jnp and shape-polymorphic over leading dims.
 Trajectory layout: (..., 3 pos + 4 quat [+ extras]) in, (..., 3 + 6 [+ extras])
 out.
+
+Intentional divergence: the reference's unnormalize_trajectory, when called
+with its production default rotation_parametrization "6D_from_query"
+(cli/args.py:64), L2-normalizes dims 3:7 - the first FOUR of the six 6D
+coords - before Gram-Schmidt (normalization.py:102, an area its own comments
+flag as buggy), skewing the second basis vector. Here every "6D*" string gets
+the clean "6D" semantics; tests/test_reference_semantics_parity.py pins both
+the parity and this divergence.
 """
 from __future__ import annotations
 
