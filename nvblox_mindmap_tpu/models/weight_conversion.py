@@ -118,3 +118,59 @@ def interpolate_pos_embed(params: Dict, target_grid: int) -> Dict:
     out = dict(params)
     out["pos_embed"] = resized.reshape(1, target_grid * target_grid, e)
     return out
+
+
+def _conv(w: np.ndarray) -> Dict[str, np.ndarray]:
+    return {"kernel": np.asarray(w).transpose(2, 3, 1, 0)}
+
+
+def _batchnorm(prefix: str, sd: Dict[str, np.ndarray]):
+    params = {
+        "scale": np.asarray(sd[prefix + ".weight"]),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+    stats = {
+        "mean": np.asarray(sd[prefix + ".running_mean"]),
+        "var": np.asarray(sd[prefix + ".running_var"]),
+    }
+    return params, stats
+
+
+def convert_clip_resnet_weights(
+    state_dict: Dict[str, np.ndarray], layers=(3, 4, 6, 3)
+) -> Dict:
+    """Map CLIP's ModifiedResNet visual state dict onto ModifiedResNetFeatures.
+
+    Accepts keys with or without the ``visual.`` prefix of the full CLIP
+    checkpoint (reference: image_processing/feature_extraction.py:473-476
+    loads the RN50 trunk). The attention-pool head is ignored - the extractor
+    taps intermediate feature maps only. Returns
+    {"params": ..., "batch_stats": ...} for the ``backbone`` submodule of
+    ClipResNet50Fpn.
+    """
+    sd = {
+        (k[len("visual."):] if k.startswith("visual.") else k): v
+        for k, v in state_dict.items()
+    }
+    params: Dict = {}
+    stats: Dict = {}
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv(sd[f"conv{i}.weight"])
+        params[f"bn{i}"], stats[f"bn{i}"] = _batchnorm(f"bn{i}", sd)
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            name = f"layer{stage + 1}_{b}"
+            t = f"layer{stage + 1}.{b}"
+            mp: Dict = {}
+            ms: Dict = {}
+            for j in (1, 2, 3):
+                mp[f"conv{j}"] = _conv(sd[f"{t}.conv{j}.weight"])
+                mp[f"bn{j}"], ms[f"bn{j}"] = _batchnorm(f"{t}.bn{j}", sd)
+            if f"{t}.downsample.0.weight" in sd:
+                mp["downsample_conv"] = _conv(sd[f"{t}.downsample.0.weight"])
+                mp["downsample_bn"], ms["downsample_bn"] = _batchnorm(
+                    f"{t}.downsample.1", sd
+                )
+            params[name] = mp
+            stats[name] = ms
+    return {"params": params, "batch_stats": stats}

@@ -125,3 +125,109 @@ def test_interpolate_pos_embed():
     assert out["pos_embed"].shape == (1, 64, 8)
     same = interpolate_pos_embed(params, 4)
     np.testing.assert_array_equal(same["pos_embed"], params["pos_embed"])
+
+
+class TorchClipBottleneck(torch.nn.Module):
+    """CLIP ModifiedResNet bottleneck (anti-aliased downsampling)."""
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.avgpool = (
+            torch.nn.AvgPool2d(stride) if stride > 1 else torch.nn.Identity()
+        )
+        self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride > 1 or inplanes != planes * 4:
+            self.downsample = torch.nn.Sequential()
+            self.downsample.add_module("-1", torch.nn.AvgPool2d(stride)
+                                       if stride > 1 else torch.nn.Identity())
+            self.downsample.add_module(
+                "0", torch.nn.Conv2d(inplanes, planes * 4, 1, bias=False)
+            )
+            self.downsample.add_module("1", torch.nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = torch.relu(self.bn2(self.conv2(out)))
+        out = self.avgpool(out)
+        out = self.bn3(self.conv3(out))
+        identity = x if self.downsample is None else self.downsample(x)
+        return torch.relu(out + identity)
+
+
+class TorchModifiedResNet(torch.nn.Module):
+    def __init__(self, layers, width):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, width // 2, 3, stride=2, padding=1,
+                                     bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(width // 2)
+        self.conv2 = torch.nn.Conv2d(width // 2, width // 2, 3, padding=1,
+                                     bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(width // 2)
+        self.conv3 = torch.nn.Conv2d(width // 2, width, 3, padding=1,
+                                     bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(width)
+        self.avgpool = torch.nn.AvgPool2d(2)
+        inplanes, planes = width, width
+        for stage, blocks in enumerate(layers):
+            stride = 1 if stage == 0 else 2
+            mods = []
+            for b in range(blocks):
+                mods.append(
+                    TorchClipBottleneck(inplanes, planes,
+                                        stride if b == 0 else 1)
+                )
+                inplanes = planes * 4
+            setattr(self, f"layer{stage + 1}", torch.nn.Sequential(*mods))
+            planes *= 2
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.relu(self.bn2(self.conv2(x)))
+        x0 = torch.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x0)
+        feats = [x0]
+        for i in (1, 2, 3, 4):
+            x = getattr(self, f"layer{i}")(x)
+            feats.append(x)
+        return feats
+
+
+def test_clip_resnet_conversion_matches_torch_forward():
+    """Converted ModifiedResNet weights reproduce the torch taps exactly."""
+    from nvblox_mindmap_tpu.models.clip_resnet_fpn import ModifiedResNetFeatures
+    from nvblox_mindmap_tpu.models.weight_conversion import (
+        convert_clip_resnet_weights,
+    )
+
+    layers, width = (1, 1, 1, 1), 8
+    torch.manual_seed(0)
+    ref = TorchModifiedResNet(layers, width).eval()
+    # Randomize batch-norm stats so eval mode is a real check.
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    state = {"visual." + k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = convert_clip_resnet_weights(state, layers=layers)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref(torch.from_numpy(np.moveaxis(x, -1, 1)))
+
+    model = ModifiedResNetFeatures(layers=layers, width=width)
+    ours = model.apply(variables, jnp.asarray(x), train=False)
+    assert len(ours) == len(ref_feats) == 5
+    for i, (a, b) in enumerate(zip(ours, ref_feats)):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(a), -1, 1), b.numpy(), atol=2e-4,
+            err_msg=f"tap {i}",
+        )
