@@ -174,3 +174,54 @@ def convert_clip_resnet_weights(
             params[name] = mp
             stats[name] = ms
     return {"params": params, "batch_stats": stats}
+
+
+def save_variables_npz(path: str, variables: Dict) -> None:
+    """Flatten a variables pytree to an .npz with '/'-joined keys."""
+    import jax.tree_util as jtu
+
+    flat = {
+        "/".join(str(p.key) for p in key_path): np.asarray(leaf)
+        for key_path, leaf in jtu.tree_flatten_with_path(variables)[0]
+    }
+    np.savez(path, **flat)
+
+
+def load_variables_npz(path: str) -> Dict:
+    """Inverse of save_variables_npz: .npz -> nested variables dict."""
+    loaded = np.load(path)
+    nested: Dict = {}
+    for key in loaded.files:
+        node = nested
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = loaded[key]
+    return nested
+
+
+def graft_subtree(variables: Dict, path: str, subtree: Dict) -> Dict:
+    """Return a copy of ``variables`` with the dict at '/'-path replaced.
+
+    Convenience for installing converted backbone weights, e.g.
+    ``graft_subtree(vars, "params/encoder/feature_extractor/backbone", w)``.
+    Every node along the path must already exist (shapes are the caller's
+    responsibility; model.apply will reject mismatches).
+    """
+    parts = path.split("/")
+    out = dict(variables)
+    node = out
+    for part in parts[:-1]:
+        if part not in node:
+            raise KeyError(
+                f"graft path component {part!r} not found "
+                f"(available: {sorted(node)})"
+            )
+        node[part] = dict(node[part])
+        node = node[part]
+    if parts[-1] not in node:
+        raise KeyError(
+            f"graft target {parts[-1]!r} not found (available: {sorted(node)})"
+        )
+    node[parts[-1]] = subtree
+    return out

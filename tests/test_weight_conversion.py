@@ -231,3 +231,38 @@ def test_clip_resnet_conversion_matches_torch_forward():
             np.moveaxis(np.asarray(a), -1, 1), b.numpy(), atol=2e-4,
             err_msg=f"tap {i}",
         )
+
+
+def test_variables_npz_roundtrip_and_graft(tmp_path):
+    from nvblox_mindmap_tpu.models.weight_conversion import (
+        graft_subtree,
+        load_variables_npz,
+        save_variables_npz,
+    )
+
+    variables = {
+        "params": {"a": {"kernel": np.ones((2, 3), np.float32)},
+                   "b": {"bias": np.zeros(4, np.float32)}},
+        "batch_stats": {"a": {"mean": np.full(3, 0.5, np.float32)}},
+    }
+    path = str(tmp_path / "w.npz")
+    save_variables_npz(path, variables)
+    loaded = load_variables_npz(path)
+    np.testing.assert_array_equal(
+        loaded["params"]["a"]["kernel"], variables["params"]["a"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        loaded["batch_stats"]["a"]["mean"],
+        variables["batch_stats"]["a"]["mean"],
+    )
+
+    new = {"kernel": np.full((2, 3), 7.0, np.float32)}
+    grafted = graft_subtree(variables, "params/a", new)
+    np.testing.assert_array_equal(grafted["params"]["a"]["kernel"], 7.0)
+    # Original untouched; sibling subtree shared.
+    np.testing.assert_array_equal(variables["params"]["a"]["kernel"], 1.0)
+    assert grafted["params"]["b"] is variables["params"]["b"]
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="graft"):
+        graft_subtree(variables, "params/missing", new)
