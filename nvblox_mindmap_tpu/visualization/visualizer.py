@@ -205,3 +205,26 @@ class VideoWriter:
             for i, frame in enumerate(self.frames):
                 imageio.imwrite(f"{base}_{i:05d}.png", frame)
         self.frames = []
+
+
+def compute_pca_basis_from_dataset(
+    data_loader, max_num_samples_for_pca: int = 200
+) -> PcaProjection:
+    """Fit one stable PCA basis over a dataset's vertex features.
+
+    (reference: visualization/visualization.py:321-349) Colors stay
+    consistent across frames/episodes when every visualization reuses the
+    returned projection. ``data_loader`` yields model-ready batch dicts with
+    a "vertex_features" entry (any loader from data/loader.py works).
+    """
+    from nvblox_mindmap_tpu.image.pca import fit_pca
+
+    features = []
+    for idx, batch in enumerate(data_loader):
+        if idx >= max_num_samples_for_pca:
+            break
+        feats = np.asarray(batch["vertex_features"], dtype=np.float32)
+        features.append(feats.reshape(-1, feats.shape[-1]))
+    if not features:
+        raise ValueError("data loader yielded no batches with vertex features")
+    return fit_pca(np.concatenate(features, axis=0))

@@ -148,3 +148,20 @@ def test_voxel_center_grids():
         np.asarray(cfg.aabb_min_m) + 0.5 * cfg.voxel_size_m,
         atol=1e-6,
     )
+
+
+def test_compute_pca_basis_from_dataset():
+    from nvblox_mindmap_tpu.image.pca import apply_pca
+    from nvblox_mindmap_tpu.visualization.visualizer import (
+        compute_pca_basis_from_dataset,
+    )
+
+    rng = np.random.default_rng(0)
+    loader = [{"vertex_features": rng.normal(size=(1, 32, 8))} for _ in range(5)]
+    proj = compute_pca_basis_from_dataset(loader, max_num_samples_for_pca=3)
+    rgb = apply_pca(np.asarray(loader[0]["vertex_features"][0], np.float32), proj)
+    assert rgb.shape == (32, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compute_pca_basis_from_dataset([], max_num_samples_for_pca=3)
