@@ -128,7 +128,12 @@ def main():
         jax.block_until_ready(outs)
         return (time.perf_counter() - t0) / n * 1000
 
-    return measure(predict), measure(predict_ddim), measure_throughput(predict)
+    return (
+        measure(predict),
+        measure(predict_ddim),
+        measure_throughput(predict),
+        measure_throughput(predict_ddim),
+    )
 
 
 def _bench_fusion_hz() -> float:
@@ -199,12 +204,14 @@ if __name__ == "__main__":
     if "--measure" in sys.argv:
         what = sys.argv[sys.argv.index("--measure") + 1]
         if what == "keypose":
-            ddpm_ms, ddim_ms, pipelined_ms = main()
-            print(ddpm_ms, ddim_ms, pipelined_ms)
+            ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms = main()
+            print(ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms)
         else:
             print(_bench_fusion_hz())
     else:
-        p50_ms, ddim_ms, pipelined_ms = _run_in_subprocess("keypose")
+        p50_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms = _run_in_subprocess(
+            "keypose"
+        )
         (fusion_hz,) = _run_in_subprocess("fusion")
         print(
             json.dumps(
@@ -215,6 +222,7 @@ if __name__ == "__main__":
                     "vs_baseline": round(100.0 / p50_ms, 3),
                     "ddim10_latency_ms": round(ddim_ms, 3),
                     "pipelined_keypose_ms": round(pipelined_ms, 3),
+                    "pipelined_ddim10_ms": round(pipelined_ddim_ms, 3),
                     "fusion_hz": round(fusion_hz, 1),
                     "fusion_hz_vs_target": round(fusion_hz / 30.0, 2),
                 }
