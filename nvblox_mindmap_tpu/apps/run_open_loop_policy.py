@@ -53,7 +53,8 @@ def run_inference(infer, model, params, batch: Dict, bounds, key
     """One inference call + metrics vs the GT keypose."""
     cfg = model.config
     traj, head_yaw, weights = infer(params, batch, key)
-    result_weights = np.asarray(weights)
+    # None under the flash-attention inference swap (no weights materialized).
+    result_weights = None if weights is None else np.asarray(weights)
     gt = jnp.concatenate(
         [batch["gt_gripper_pred"][..., :7], batch["gt_gripper_pred"][..., 7:]], axis=-1
     )
@@ -160,15 +161,16 @@ def _export_sample_ply(output_dir, idx, batch, result, pca_projection):
         features,
         pca_projection,
     )
-    weights = np.asarray(result["attention_weights"])[0].mean(axis=0)
-    # Attention weights cover the context tokens; for mesh mode that's the
-    # vertex set.
-    n = min(len(weights), len(vertices))
-    save_pointcloud_ply(
-        os.path.join(output_dir, f"sample_{idx:04d}_attention.ply"),
-        vertices[:n],
-        attention_to_colors(weights[:n]),
-    )
+    if result["attention_weights"] is not None:
+        weights = np.asarray(result["attention_weights"])[0].mean(axis=0)
+        # Attention weights cover the context tokens; for mesh mode that's
+        # the vertex set.
+        n = min(len(weights), len(vertices))
+        save_pointcloud_ply(
+            os.path.join(output_dir, f"sample_{idx:04d}_attention.ply"),
+            vertices[:n],
+            attention_to_colors(weights[:n]),
+        )
     pred = np.asarray(result["trajectory"])[0, :, :, :3].reshape(-1, 3)
     save_pointcloud_ply(
         os.path.join(output_dir, f"sample_{idx:04d}_prediction.ply"), pred

@@ -36,3 +36,23 @@ def convert_diffusion_scheduler(
         "num_inference_steps": num_inference_steps,
         "stochastic": False,
     }
+
+
+def apply_inference_settings(settings: Dict) -> Dict:
+    """Apply converter settings that are process-wide, return the rest.
+
+    ``attention_impl`` (from convert_to_flash_attention) installs the flash
+    kernel as the default attention implementation - the functional analogue
+    of the reference's recursive custom->flash module surgery
+    (reference converter.py:11-48). Must run BEFORE the inference function is
+    first traced; already-compiled programs keep the impl they were traced
+    with. Remaining keys (scheduler settings) are returned to be passed to
+    ``sample_trajectory``.
+    """
+    settings = dict(settings)
+    impl = settings.pop("attention_impl", None)
+    if impl is not None:
+        from nvblox_mindmap_tpu.ops.attention import set_default_attention_impl
+
+        set_default_attention_impl(impl)
+    return settings

@@ -424,7 +424,8 @@ def sample_trajectory(
     # weights are averaged over all steps (reference diffuser_actor.py:386-404).
     openness = openness_seq[-1]
     head_yaw = None if head_yaw_seq is None else head_yaw_seq[-1]
-    mean_weights = jnp.mean(weights_seq, axis=0)
+    # None when the flash-attention swap is active (no weights materialized).
+    mean_weights = None if weights_seq is None else jnp.mean(weights_seq, axis=0)
 
     trajectory = jnp.concatenate([trajectory, openness], axis=-1)
     trajectory = unnormalize_trajectory(

@@ -257,5 +257,9 @@ class DiffusionHead(nn.Module):
         traj_pred = traj_pred.reshape(B, L, G, 10)
 
         # Last cross-attn layer's weights averaged over heads: (B, n_traj, N).
-        cross_attn_weights = jnp.mean(all_weights[-1], axis=1)
+        # None under the flash-attention inference swap (the kernel does not
+        # materialize weights, matching the reference's flash drop-in).
+        cross_attn_weights = (
+            None if all_weights[-1] is None else jnp.mean(all_weights[-1], axis=1)
+        )
         return traj_pred, head_yaw, cross_attn_weights

@@ -48,6 +48,13 @@ class MultiheadAttention(nn.Module):
         q = dense("q_proj")(query)
         k = dense("k_proj")(key)
         v = dense("v_proj")(value)
+        # Under the flash default (models/converter.py inference swap) the
+        # kernel cannot materialize weights - drop them, like the reference's
+        # MultiheadFlashAttention drop-in.
+        from nvblox_mindmap_tpu.ops.attention import get_default_attention_impl
+
+        if get_default_attention_impl() == "flash":
+            need_weights = False
         out, weights = multi_head_attention(
             q,
             k,

@@ -25,6 +25,25 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 
+# Process-wide default attention implementation ("xla" or "flash"), resolved
+# at TRACE time when a call site passes impl=None. This is the hook the
+# inference converter uses (models/converter.py, mirroring the reference's
+# module-surgery custom->flash swap): set it BEFORE the first call of a
+# jitted function - already-compiled programs keep the impl they were traced
+# with.
+_DEFAULT_IMPL = "xla"
+
+
+def set_default_attention_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    if impl not in ("xla", "flash"):
+        raise ValueError(f"Unknown attention impl {impl!r}; 'xla' or 'flash'")
+    _DEFAULT_IMPL = impl
+
+
+def get_default_attention_impl() -> str:
+    return _DEFAULT_IMPL
+
 
 def multi_head_attention(
     q: jnp.ndarray,
@@ -34,7 +53,7 @@ def multi_head_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,
     rotary_codes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     need_weights: bool = True,
-    impl: str = "xla",
+    impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scaled dot-product attention over projected q/k/v.
 
@@ -51,6 +70,8 @@ def multi_head_attention(
     Returns:
         (attn_out (B, L, E), weights or None)
     """
+    if impl is None:
+        impl = _DEFAULT_IMPL
     B, L, E = q.shape
     S = k.shape[1]
     assert E % num_heads == 0
@@ -70,14 +91,17 @@ def multi_head_attention(
     vh = v.reshape(B, S, num_heads, head_dim)
 
     if impl == "flash" and not need_weights:
-        from nvblox_mindmap_tpu.ops.flash_attention import flash_attention
+        from nvblox_mindmap_tpu.ops import flash_attention as fa
 
         inclusion = None if key_padding_mask is None else ~key_padding_mask
-        out = flash_attention(
+        out = fa.flash_attention(
             qh.transpose(0, 2, 1, 3),
             kh.transpose(0, 2, 1, 3),
             vh.transpose(0, 2, 1, 3),
             key_padding_mask=inclusion,
+            # Mosaic kernels are TPU-only; fall back to the Pallas
+            # interpreter on other backends (tests, CPU dry runs).
+            interpret=jax.default_backend() != "tpu",
         )
         return out.transpose(0, 2, 1, 3).reshape(B, L, E), None
 
