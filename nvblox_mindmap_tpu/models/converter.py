@@ -11,6 +11,13 @@ just producing the inference-time settings:
   numerically equivalent).
 - ``convert_diffusion_scheduler``: returns sampling kwargs for DDIM with a
   reduced step count (e.g. 10 steps instead of 100).
+
+When to use flash: LONG contexts and head dims near a multiple of 128. At
+the flagship configuration (2048 tokens, embed 120 -> head dim 15, padded to
+128 inside the kernel) the XLA default is ~6x FASTER on the chip (22.5 vs
+133 ms pipelined, measured) - so unlike the reference (where flash-attn
+always beat their eager torch attention), keep the default here unless the
+context grows well past ~10k tokens or the head dim is >= 64.
 """
 from __future__ import annotations
 
