@@ -156,6 +156,18 @@ class Mapper:
     def tsdf_dense(self, mapper_id: int = MapperId.STATIC) -> jnp.ndarray:
         return vg.query_tsdf_dense(self.states[mapper_id], self.configs[mapper_id])
 
+    def features_dense(self, mapper_id: int = MapperId.STATIC) -> jnp.ndarray:
+        """(X, Y, Z, F) dense feature grid (zeros where unallocated)."""
+        return vg.query_features_dense(
+            self.states[mapper_id], self.configs[mapper_id]
+        )
+
+    def colors_dense(self, mapper_id: int = MapperId.STATIC) -> jnp.ndarray:
+        """(X, Y, Z, 3) dense color grid (zeros where unallocated)."""
+        return vg.query_colors_dense(
+            self.states[mapper_id], self.configs[mapper_id]
+        )
+
     def weight_dense(self, mapper_id: int = MapperId.STATIC) -> jnp.ndarray:
         return self.states[mapper_id].weight
 

@@ -504,6 +504,51 @@ def extract_surface_vertices(
 
 
 @partial(jax.jit, static_argnames=("config",))
+def _query_pool_dense_jit(page_table, pool, pool_weight,
+                          config: MappingConfig):
+    X, Y, Z = config.grid_shape
+    b = config.block_size
+    page_vox = jnp.repeat(
+        jnp.repeat(jnp.repeat(page_table, b, 0), b, 1), b, 2
+    )  # (X, Y, Z)
+    vx, vy, vz = jnp.meshgrid(
+        jnp.arange(X), jnp.arange(Y), jnp.arange(Z), indexing="ij"
+    )
+    slot = ((vx % b) * b + (vy % b)) * b + (vz % b)
+    safe = jnp.maximum(page_vox, 0).reshape(-1)
+    slot = slot.reshape(-1)
+    values = pool[safe, slot].astype(jnp.float32)
+    valid = (page_vox.reshape(-1) >= 0) & (pool_weight[safe, slot] > 0)
+    return jnp.where(valid[:, None], values, 0.0).reshape(
+        X, Y, Z, pool.shape[-1]
+    )
+
+
+def query_features_dense(
+    state: VoxelGridState, config: MappingConfig
+) -> jnp.ndarray:
+    """Dense (X, Y, Z, F) per-voxel features; unallocated voxels are zero.
+
+    The feature_layer_view -> convert_layer_to_dense_tensor export
+    (reference: mapping/helpers/nvblox_output_helpers.py:13,
+    visualization/visualizer.py:678-711). Beware memory: full 768-d grids
+    are gigabytes - slice or reduce feature_dim for visualization.
+    """
+    return _query_pool_dense_jit(
+        state.page_table, state.feat, state.feat_weight, config
+    )
+
+
+def query_colors_dense(
+    state: VoxelGridState, config: MappingConfig
+) -> jnp.ndarray:
+    """Dense (X, Y, Z, 3) per-voxel colors; unallocated voxels are zero."""
+    return _query_pool_dense_jit(
+        state.page_table, state.color, state.color_weight, config
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
 def _query_tsdf_dense_jit(tsdf, weight, config: MappingConfig):
     return jnp.where(weight > 0, tsdf, config.unobserved_value)
 

@@ -260,3 +260,35 @@ def test_surface_feature_edge_blending():
     _, feats2, valid2 = vg.extract_surface_vertices(state2, cfg, 16)
     f2 = np.asarray(feats2)[np.asarray(valid2)][0]
     np.testing.assert_allclose(f2, f0, atol=1e-3)
+
+
+def test_dense_feature_and_color_queries():
+    """features_dense/colors_dense mirror the pool contents per voxel."""
+    cfg = small_config(feature_dim=8)
+    mapper = Mapper({MapperId.STATIC: cfg})
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    feat_value = np.arange(1, 9, dtype=np.float32) / 10.0
+    mapper.add_depth_frame(depth, T, K)
+    mapper.add_feature_frame(
+        np.broadcast_to(feat_value, (H, W, 8)).copy(), T, K
+    )
+    mapper.add_color_frame(np.full((H, W, 3), 0.25, np.float32), T, K)
+
+    dense = np.asarray(mapper.features_dense())
+    colors = np.asarray(mapper.colors_dense())
+    assert dense.shape == cfg.grid_shape + (8,)
+    assert colors.shape == cfg.grid_shape + (3,)
+    populated = np.abs(dense).sum(-1) > 0
+    assert populated.sum() > 100
+    np.testing.assert_allclose(
+        dense[populated],
+        np.broadcast_to(feat_value, (populated.sum(), 8)),
+        atol=2e-2,
+    )
+    col_pop = np.abs(colors).sum(-1) > 0
+    np.testing.assert_allclose(colors[col_pop], 0.25, atol=2e-2)
+    # Populated voxels sit near the wall (z ~= 1.0).
+    X, Y, Z = cfg.grid_shape
+    zs = np.asarray(vg.voxel_centers_flat(cfg)).reshape(X, Y, Z, 3)[..., 2]
+    assert np.all(np.abs(zs[populated] - 1.0) <= cfg.truncation_distance_m + 0.03)
