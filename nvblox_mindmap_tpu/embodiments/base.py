@@ -68,27 +68,26 @@ class DelayBasedGripperStateEstimator:
     reflected in the estimated state.
     """
 
-    def __init__(self, initial_state: bool, steps_commanded_to_take_affect: int):
+    def __init__(self, initial_state: bool, steps_commanded_to_take_affect: int = 10):
         self._state = bool(initial_state)
         self._delay = steps_commanded_to_take_affect
-        self._pending_command = None
-        self._steps_since_command = 0
+        self._last_command = None
+        self._steps_commanded = 0
 
     def update(self, last_command: float | None):
-        if last_command is not None:
-            commanded = bool(last_command >= 0.5)
-            if commanded != self._state and self._pending_command != commanded:
-                self._pending_command = commanded
-                self._steps_since_command = 0
-            elif self._pending_command is not None and commanded == self._pending_command:
-                self._steps_since_command += 1
-        if (
-            self._pending_command is not None
-            and self._steps_since_command >= self._delay
-        ):
-            self._state = self._pending_command
-            self._pending_command = None
-            self._steps_since_command = 0
+        if last_command is None:
+            return
+        commanded = bool(last_command > 0.5)
+        if self._last_command is None:
+            self._last_command = commanded
+            return
+        if commanded == self._last_command:
+            self._steps_commanded += 1
+        else:
+            self._steps_commanded = 0
+        self._last_command = commanded
+        if self._steps_commanded > self._delay:
+            self._state = commanded
 
     def get_state(self) -> bool:
         return self._state

@@ -136,3 +136,37 @@ def test_first_last_frames_match_reference(ref):
             np.asarray(idx, dtype=np.int64), 100
         )
         assert list(map(int, ours)) == list(map(int, theirs))
+
+
+def test_delay_based_estimator_matches_reference():
+    """Step-for-step identical state sequence on random command streams."""
+    import importlib.util
+
+    path = "/root/reference/mindmap/embodiments/delay_based_estimator.py"
+    spec = importlib.util.spec_from_file_location("ref_delay", path)
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    from nvblox_mindmap_tpu.embodiments.base import (
+        DelayBasedGripperStateEstimator,
+    )
+
+    rng = np.random.default_rng(0)
+    for initial in (False, True):
+        for delay in (1, 3, 10):
+            ref = ref_mod.DelayBasedGripperStateEstimator(initial, delay)
+            ours = DelayBasedGripperStateEstimator(initial, delay)
+            # Piecewise-constant command stream with noise and None gaps,
+            # including the 0.5 boundary.
+            commands = []
+            level = 0.0
+            for _ in range(120):
+                if rng.random() < 0.08:
+                    level = rng.choice([0.0, 0.4, 0.5, 0.6, 1.0])
+                commands.append(None if rng.random() < 0.1 else level)
+            for i, c in enumerate(commands):
+                ref.update(c)
+                ours.update(c)
+                assert ours.get_state() == ref.get_state(), (
+                    f"diverged at step {i} (initial={initial}, delay={delay})"
+                )
