@@ -29,6 +29,7 @@ def make_sharded_infer_fn(
     mesh,
     num_inference_steps: Optional[int] = None,
     scheduler_kind: str = "ddpm",
+    stochastic: Optional[bool] = None,
 ) -> Callable:
     """Build a jitted, mesh-sharded batch predictor.
 
@@ -37,20 +38,24 @@ def make_sharded_infer_fn(
         bounds: (2, 3) workspace bounds.
         mesh: 1-D data mesh (parallel/mesh.py:make_data_mesh). The request
             batch's leading dimension must be divisible by its size.
-        num_inference_steps / scheduler_kind: sampler overrides (e.g. 10 /
-            "ddim" for low-latency serving, models/converter.py parity).
+        num_inference_steps / scheduler_kind / stochastic: sampler overrides
+            (e.g. 10 / "ddim" for low-latency serving); accepts
+            ``models/converter.py:convert_diffusion_scheduler`` output
+            directly. ``stochastic`` defaults to False for DDIM, True for
+            DDPM.
 
     Returns:
         infer(params, batch, key) -> (trajectory, head_yaw, weights); feed
         host batches - sharding happens inside.
     """
     cfg = model.config
-    kwargs = {}
+    if stochastic is None:
+        stochastic = scheduler_kind == "ddpm"
+    kwargs = {"stochastic": stochastic}
     if num_inference_steps is not None:
         kwargs["num_inference_steps"] = num_inference_steps
     if scheduler_kind != "ddpm":
         kwargs["scheduler_kind"] = scheduler_kind
-        kwargs["stochastic"] = False
 
     @jax.jit
     def _infer(params, batch, key):
