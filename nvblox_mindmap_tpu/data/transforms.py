@@ -16,6 +16,7 @@ from nvblox_mindmap_tpu.data.vertex_sampling import (
     sample_to_n_vertices,
 )
 from nvblox_mindmap_tpu.geometry.np_rotations import (
+    quat_standardize,
     euler_xyz_to_quat,
     quat_apply,
     quat_multiply,
@@ -56,7 +57,9 @@ def apply_transform_to_sample(
     dtype = sample.dtype
     pos = quat_apply(rotation_quat, sample[..., :3]) + translation
     if sample.shape[-1] == 8:
-        quat = quat_multiply(rotation_quat, sample[..., 3:7])
+        # Standardized (non-negative w), matching the reference's
+        # pytorch3d quaternion_multiply.
+        quat = quat_standardize(quat_multiply(rotation_quat, sample[..., 3:7]))
         out = np.concatenate([pos, quat, sample[..., 7:]], axis=-1)
     else:
         out = pos

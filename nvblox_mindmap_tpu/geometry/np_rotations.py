@@ -26,6 +26,11 @@ def quat_invert(q: np.ndarray) -> np.ndarray:
     return q * np.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 
+def quat_standardize(q: np.ndarray) -> np.ndarray:
+    """Flip sign so the real part is non-negative (pytorch3d convention)."""
+    return np.where(q[..., :1] < 0, -q, q)
+
+
 def quat_apply(q: np.ndarray, pts: np.ndarray) -> np.ndarray:
     zeros = np.zeros(pts.shape[:-1] + (1,), dtype=pts.dtype)
     pq = np.concatenate([zeros, pts], axis=-1)

@@ -211,3 +211,93 @@ def test_rgb_model_input_matches_reference(ref):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(ours), -1, 0), ref_chw, atol=1e-6
     )
+
+
+@pytest.fixture(scope="module")
+def ref_transformer(ref):
+    """Load the reference sample_transformer (needs tap + package shims)."""
+    tap_mod = type(sys)("tap")
+
+    class _Tap:
+        pass
+
+    tap_mod.Tap = _Tap
+    sys.modules.setdefault("tap", tap_mod)
+    for pkg in (
+        "mindmap", "mindmap.geometry", "mindmap.tasks", "mindmap.mapping",
+        "mindmap.data_loading", "mindmap.image_processing",
+    ):
+        sys.modules.setdefault(pkg, type(sys)(pkg))
+    _load(
+        "mindmap.geometry.pytorch3d_transforms",
+        os.path.join(REFERENCE, "mindmap/geometry/pytorch3d_transforms.py"),
+    )
+    _load("mindmap.tasks.tasks", os.path.join(REFERENCE, "mindmap/tasks/tasks.py"))
+    _load(
+        "mindmap.mapping.nvblox_mapper_constants",
+        os.path.join(REFERENCE, "mindmap/mapping/nvblox_mapper_constants.py"),
+    )
+    _load(
+        "mindmap.data_loading.vertex_sampling",
+        os.path.join(REFERENCE, "mindmap/data_loading/vertex_sampling.py"),
+    )
+    _load(
+        "mindmap.image_processing.image_conversions",
+        os.path.join(REFERENCE, "mindmap/image_processing/image_conversions.py"),
+    )
+    return _load(
+        "ref_sample_transformer",
+        os.path.join(REFERENCE, "mindmap/data_loading/sample_transformer.py"),
+    )
+
+
+def test_apply_transform_to_sample_matches_reference(ref_transformer):
+    from nvblox_mindmap_tpu.data.transforms import apply_transform_to_sample
+
+    rng = np.random.default_rng(0)
+    translation = rng.uniform(-0.2, 0.2, 3).astype(np.float32)
+    quat = rng.normal(size=4).astype(np.float32)
+    quat /= np.linalg.norm(quat)
+
+    points = rng.normal(size=(12, 3)).astype(np.float32)
+    ref_pts = ref_transformer.apply_random_transform_to_sample(
+        torch.from_numpy(points), torch.from_numpy(translation),
+        torch.from_numpy(quat),
+    ).numpy()
+    ours_pts = apply_transform_to_sample(points, translation, quat)
+    np.testing.assert_allclose(ours_pts, ref_pts, atol=1e-5)
+
+    q8 = rng.normal(size=(5, 4)).astype(np.float32)
+    q8 /= np.linalg.norm(q8, axis=-1, keepdims=True)
+    poses = np.concatenate(
+        [rng.normal(size=(5, 3)).astype(np.float32), q8,
+         rng.integers(0, 2, (5, 1)).astype(np.float32)], -1,
+    )
+    ref_poses = ref_transformer.apply_random_transform_to_sample(
+        torch.from_numpy(poses), torch.from_numpy(translation),
+        torch.from_numpy(quat),
+    ).numpy()
+    ours_poses = apply_transform_to_sample(poses, translation, quat)
+    np.testing.assert_allclose(ours_poses, ref_poses, atol=1e-5)
+
+
+def test_rgb_depth_transformers_match_reference(ref_transformer):
+    from nvblox_mindmap_tpu.data.transforms import (
+        DepthTransformer,
+        RgbTransformer,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (6, 7, 3)).astype(np.float32)
+    ref_rgb = ref_transformer.RgbTransformer()(torch.from_numpy(img)).numpy()
+    ours_rgb = RgbTransformer()(img)  # channel-last here
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ours_rgb), -1, 0), ref_rgb, atol=1e-6
+    )
+
+    depth_u16 = rng.integers(0, 5000, (6, 7)).astype(np.uint16)
+    ref_d = ref_transformer.DepthTransformer()(
+        torch.from_numpy(depth_u16.astype(np.int32))
+    ).numpy()
+    ours_d = DepthTransformer()(depth_u16)
+    np.testing.assert_allclose(np.asarray(ours_d), ref_d, atol=1e-6)

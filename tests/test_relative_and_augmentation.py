@@ -92,8 +92,12 @@ def test_apply_transform_matches_manual():
     np.testing.assert_allclose(
         out[0, :3], quat_apply(q, pose[0, :3]) + t, atol=1e-6
     )
+    from nvblox_mindmap_tpu.geometry.np_rotations import quat_standardize
+
     np.testing.assert_allclose(
-        out[0, 3:7], quat_multiply(q, pose[0, 3:7]), atol=1e-6
+        out[0, 3:7],
+        quat_standardize(quat_multiply(q, pose[0, 3:7])),
+        atol=1e-6,
     )
 
 
