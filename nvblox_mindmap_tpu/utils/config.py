@@ -31,11 +31,20 @@ CLOSED_LOOP_ARGUMENT_FILE_NAME = "closed_loop_args.json"
 
 
 def parse_two_3d_bounds(bounds_str: str) -> Tuple[List[float], List[float]]:
-    bounds_str = re.sub(r"[ \[\]]", "", bounds_str)
-    vec = [float(v) for v in bounds_str.split(",")]
-    assert len(vec) == 6
+    cleaned = re.sub(r"[ \[\]()]", "", bounds_str)
+    try:
+        vec = [float(v) for v in cleaned.split(",")]
+    except ValueError:
+        vec = []
+    if len(vec) != 6:
+        raise ValueError(
+            f"Expected 6 comma-separated numbers like "
+            f'"[-0.1,-0.1,0],[0.1,0.1,0]" (min xyz, max xyz); got '
+            f"{bounds_str!r}"
+        )
     lo, hi = vec[:3], vec[3:]
-    assert all(a <= b for a, b in zip(lo, hi))
+    if not all(a <= b for a, b in zip(lo, hi)):
+        raise ValueError(f"min must be <= max per axis; got {bounds_str!r}")
     return lo, hi
 
 
