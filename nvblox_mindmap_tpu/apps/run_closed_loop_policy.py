@@ -120,6 +120,7 @@ def main(argv=None, environment: str = "kinematic"):
             vertex_sampling_method=args.vertex_sampling_method,
             num_history=args.num_history,
             seed=args.seed,
+            include_dynamic=args.include_dynamic,
         )
 
     evaluator = BasicEvaluator()

@@ -17,7 +17,10 @@ import os
 
 import numpy as np
 
-from nvblox_mindmap_tpu.closed_loop.environment import ReplayEnvironment
+from nvblox_mindmap_tpu.closed_loop.environment import (
+    ReplayEnvironment,
+    dynamic_mask_from_segmentation,
+)
 from nvblox_mindmap_tpu.geometry.np_rotations import pose7_to_matrix
 from nvblox_mindmap_tpu.data.dataset import get_demo_paths
 from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
@@ -25,7 +28,7 @@ from nvblox_mindmap_tpu.embodiments.registry import make_embodiment_for_task
 from nvblox_mindmap_tpu.mapping.constants import MapperId, MappingConfig
 from nvblox_mindmap_tpu.mapping.mapper import (
     Mapper,
-    integrate_frame,
+    nvblox_integrate,
     save_feature_mesh_to_disk,
 )
 from nvblox_mindmap_tpu.models.feature_extractors import get_feature_dim
@@ -42,13 +45,19 @@ def process_demo(
     feature_fn,
     save_serialized_map: bool = False,
     max_num_steps: int = -1,
+    include_dynamic: bool = False,
 ):
     """Fuse one demo's frames; write per-frame feature meshes."""
     prefixes = (
         ["wrist"] if embodiment.embodiment_type == EmbodimentType.ARM else ["pov"]
     )
     env = ReplayEnvironment(demo_path, embodiment, prefixes)
-    mapper = Mapper({MapperId.STATIC: mapping_config})
+    # The dynamic mapper's feature pool is only allocated when needed.
+    mapper = (
+        Mapper.dual(mapping_config)
+        if include_dynamic
+        else Mapper({MapperId.STATIC: mapping_config})
+    )
     n = env.num_frames if max_num_steps < 0 else min(env.num_frames, max_num_steps)
     env.reset()
     for t in range(n):
@@ -58,8 +67,13 @@ def process_demo(
         for frame in env.get_cameras().values():
             with Timer("datagen/compute_features"):
                 features = np.asarray(feature_fn(frame.rgb))
+            dynamic_mask = dynamic_mask_from_segmentation(
+                frame.segmentation,
+                env.semantic_id_to_class,
+                mapping_config.dynamic_class_labels,
+            )
             with Timer("datagen/integrate"):
-                integrate_frame(
+                nvblox_integrate(
                     mapper,
                     mapping_config,
                     frame.depth,
@@ -67,21 +81,23 @@ def process_demo(
                     frame.intrinsics,
                     pose7_to_matrix(frame.pose7),
                     frame.rgb,
-                    input_mask=np.ones(frame.depth.shape, dtype=bool),
-                    input_mask_erosion_iterations=(
-                        mapping_config.static_mask_erosion_iterations
-                    ),
-                    valid_depth_mask_erosion_iterations=(
-                        mapping_config.valid_depth_mask_erosion_iterations
-                    ),
-                    mapper_id=MapperId.STATIC,
+                    dynamic_mask=dynamic_mask,
+                    include_dynamic=include_dynamic,
                 )
         with Timer("datagen/export_mesh"):
             save_feature_mesh_to_disk(
-                mapper, os.path.join(demo_path, f"{t}.nvblox_vertex_features.zst")
+                mapper,
+                os.path.join(demo_path, f"{t}.nvblox_vertex_features.zst"),
+                include_dynamic=include_dynamic,
             )
     if save_serialized_map:
-        mapper.save_map(os.path.join(demo_path, "map.nvblx.pkl"))
+        mapper.save_map(os.path.join(demo_path, "map.nvblx.pkl"),
+                        MapperId.STATIC)
+        if include_dynamic:
+            mapper.save_map(
+                os.path.join(demo_path, "map_dynamic.nvblx.pkl"),
+                MapperId.DYNAMIC,
+            )
     # Mark success if no outcome file exists yet.
     outcome_path = os.path.join(demo_path, "demo_successful.npy")
     if not os.path.exists(outcome_path):
@@ -157,6 +173,7 @@ def main(argv=None):
             feature_fn,
             save_serialized_map=args.save_serialized_nvblox_map_to_disk,
             max_num_steps=args.max_num_steps,
+            include_dynamic=args.include_dynamic,
         )
     logger.info("\n%s", timer_status_string())
 

@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nvblox_mindmap_tpu.closed_loop.environment import EnvironmentBase
+from nvblox_mindmap_tpu.closed_loop.environment import (
+    EnvironmentBase,
+    dynamic_mask_from_segmentation,
+)
 from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
 from nvblox_mindmap_tpu.data.vertex_sampling import (
     VertexSamplingMethod,
@@ -27,7 +30,7 @@ from nvblox_mindmap_tpu.mapping.constants import MapperId, MappingConfig
 from nvblox_mindmap_tpu.mapping.mapper import (
     Mapper,
     get_vertices_and_features,
-    integrate_frame,
+    nvblox_integrate,
 )
 from nvblox_mindmap_tpu.models.diffuser_actor import (
     DiffuserActor,
@@ -110,6 +113,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         feature_fn=None,
         num_history: int = 3,
         seed: int = 0,
+        include_dynamic: bool = False,
     ):
         self.model = model
         self.params = params
@@ -120,7 +124,13 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         self.num_vertices_to_sample = num_vertices_to_sample
         self.vertex_sampling_method = vertex_sampling_method
         self.num_history = num_history
-        self.mapper = Mapper({MapperId.STATIC: mapping_config})
+        self.include_dynamic = include_dynamic
+        # The dynamic mapper's feature pool is only allocated when needed.
+        self.mapper = (
+            Mapper.dual(mapping_config)
+            if include_dynamic
+            else Mapper({MapperId.STATIC: mapping_config})
+        )
         self.history: collections.deque = collections.deque(maxlen=num_history)
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
@@ -143,7 +153,12 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         for frame in env.get_cameras().values():
             features = self.feature_fn(frame.rgb)
             T_WC = pose7_to_matrix(frame.pose7)
-            integrate_frame(
+            dynamic_mask = dynamic_mask_from_segmentation(
+                frame.segmentation,
+                env.semantic_id_to_class,
+                self.mapping_config.dynamic_class_labels,
+            )
+            nvblox_integrate(
                 self.mapper,
                 self.mapping_config,
                 frame.depth,
@@ -151,14 +166,8 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
                 frame.intrinsics,
                 T_WC,
                 frame.rgb,
-                input_mask=np.ones(frame.depth.shape, dtype=bool),
-                input_mask_erosion_iterations=(
-                    self.mapping_config.static_mask_erosion_iterations
-                ),
-                valid_depth_mask_erosion_iterations=(
-                    self.mapping_config.valid_depth_mask_erosion_iterations
-                ),
-                mapper_id=MapperId.STATIC,
+                dynamic_mask=dynamic_mask,
+                include_dynamic=self.include_dynamic,
             )
         self.history.append(np.asarray(env.get_policy_state(), dtype=np.float32))
 
@@ -186,7 +195,11 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
             self.mapper.update_feature_mesh(
                 MapperId.STATIC, max_vertices=max(self.num_vertices_to_sample, 4096)
             )
-            vertices, features = get_vertices_and_features(self.mapper)
+            # remove_zero_features=True matches the reference live policy
+            # (nvblox_diffuser_actor_policy.py:208-210).
+            vertices, features = get_vertices_and_features(
+                self.mapper, MapperId.STATIC, remove_zero_features=True
+            )
             vertices, features, valid = sample_to_n_vertices(
                 vertices,
                 features,

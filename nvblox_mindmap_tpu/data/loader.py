@@ -175,22 +175,46 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that aborts when the consumer abandoned the
+            # generator (e.g. evaluate_nsteps breaking early) so the worker
+            # thread and its queued batches don't leak.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for indices in batches:
-                    q.put(self._make_batch(indices))
+                    if stop.is_set() or not _put(self._make_batch(indices)):
+                        return
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # Drain so a worker blocked on a full queue can observe the stop
+            # flag and exit promptly.
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5.0)
 
 
 def get_data_loader_by_data_type(

@@ -47,6 +47,26 @@ class DemoWriter:
         np.save(self._path(idx, f"{camera}_intrinsics.npy"),
                 np.asarray(intrinsics, np.float32))
 
+    def write_semantic(self, idx: int, camera: str, segmentation: np.ndarray):
+        """segmentation: (H, W) integer label ids -> uint8/uint16 PNG
+        (reference: isaaclab_writer.py:126 write_semantic)."""
+        import imageio.v2 as imageio
+
+        seg = np.asarray(segmentation)
+        assert seg.ndim == 2, "segmentation must be a (H, W) label image"
+        dtype = np.uint8 if seg.max(initial=0) < 256 else np.uint16
+        imageio.imwrite(
+            self._path(idx, f"{camera}_semantic.png"), seg.astype(dtype)
+        )
+
+    def write_semantic_labels(self, id_to_class):
+        """Persist the label-id -> class-name map the dynamic mask needs."""
+        import json
+
+        path = os.path.join(self.demo_dir, "semantic_labels.json")
+        with open(path, "w") as f:
+            json.dump({str(int(k)): str(v) for k, v in id_to_class.items()}, f)
+
     def write_robot_state(self, idx: int, robot_state: np.ndarray):
         np.save(self._path(idx, "robot_state.npy"),
                 np.asarray(robot_state, np.float32))

@@ -255,23 +255,129 @@ def integrate_frame(
     }
 
 
+def nvblox_integrate(
+    mapper: Mapper,
+    config: MappingConfig,
+    depth_frame: np.ndarray,
+    feature_frame: np.ndarray,
+    intrinsics: np.ndarray,
+    camera_pose: np.ndarray,
+    rgb: np.ndarray,
+    dynamic_mask: Optional[np.ndarray],
+    include_dynamic: bool,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Route one camera frame into the STATIC (and optionally DYNAMIC) mapper.
+
+    Mirrors reference helpers/nvblox_mapping_helpers.py:nvblox_integrate:
+    robot pixels (``dynamic_mask``, built from the task's
+    ``dynamic_class_labels``) are excluded from the static spatial-memory map
+    and, when ``include_dynamic``, integrated into the DYNAMIC mapper with
+    their own (smaller) erosion radius. A missing segmentation channel
+    (``dynamic_mask is None``) degrades to static-everything.
+    """
+    if config.use_dynamic_mask and dynamic_mask is not None:
+        static_mask = ~np.asarray(dynamic_mask, dtype=bool)
+    else:
+        static_mask = np.ones(np.asarray(depth_frame).shape, dtype=bool)
+
+    images = {
+        "STATIC": integrate_frame(
+            mapper,
+            config,
+            depth_frame,
+            feature_frame,
+            intrinsics,
+            camera_pose,
+            rgb,
+            input_mask=static_mask,
+            input_mask_erosion_iterations=config.static_mask_erosion_iterations,
+            valid_depth_mask_erosion_iterations=(
+                config.valid_depth_mask_erosion_iterations
+            ),
+            mapper_id=MapperId.STATIC,
+        )
+    }
+    if include_dynamic:
+        if dynamic_mask is None:
+            raise ValueError(
+                "include_dynamic requires a segmentation channel "
+                "(CameraFrame.segmentation / <idx>.<cam>_semantic.png) to "
+                "build the dynamic mask from"
+            )
+        images["DYNAMIC"] = integrate_frame(
+            mapper,
+            config,
+            depth_frame,
+            feature_frame,
+            intrinsics,
+            camera_pose,
+            rgb,
+            input_mask=np.asarray(dynamic_mask, dtype=bool),
+            input_mask_erosion_iterations=config.dynamic_mask_erosion_iterations,
+            valid_depth_mask_erosion_iterations=(
+                config.valid_depth_mask_erosion_iterations
+            ),
+            mapper_id=MapperId.DYNAMIC,
+        )
+    return images
+
+
 def get_vertices_and_features(
-    mapper: Mapper, mapper_id: int = MapperId.STATIC
+    mapper: Mapper,
+    mapper_id: int = MapperId.STATIC,
+    remove_zero_features: bool = False,
+    num_excess_features: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Extract valid surface vertices + features as host numpy arrays."""
+    """Extract valid surface vertices + features as host numpy arrays.
+
+    Mirrors reference helpers/nvblox_output_helpers.py:22-80:
+    ``num_excess_features`` trailing (padding) channels are dropped first and
+    ``remove_zero_features`` discards vertices whose features are all zero so
+    featureless points never reach the vertex sample budget. (The AABB filter
+    of the reference is implicit here: the dense-in-AABB grid cannot produce
+    vertices outside the workspace bounds.)
+    """
     vertices, features, valid = mapper.get_feature_mesh(mapper_id)
     vertices, features, valid = jax.device_get((vertices, features, valid))
-    return vertices[valid], features[valid]
+    vertices, features = vertices[valid], features[valid]
+    if num_excess_features > 0:
+        features = features[..., :-num_excess_features]
+    if remove_zero_features:
+        nonzero = ~np.all(features == 0, axis=1)
+        vertices, features = vertices[nonzero], features[nonzero]
+    return vertices, features
 
 
 def save_feature_mesh_to_disk(
-    mapper: Mapper, path: str, mapper_id: int = MapperId.STATIC
+    mapper: Mapper,
+    path: str,
+    mapper_id: int = MapperId.STATIC,
+    remove_zero_features: bool = True,
+    num_excess_features: int = 0,
+    include_dynamic: bool = False,
 ):
-    """Persist the feature mesh as the reference's zstd-pickled dict."""
+    """Persist the feature mesh as the reference's zstd-pickled dict.
+
+    ``remove_zero_features`` defaults True, matching the reference's datagen
+    export (nvblox_to_disk_helpers.py:41-45). ``include_dynamic`` concatenates
+    the DYNAMIC mapper's vertices after the static ones - an intentional
+    extension: the reference asserts this unsupported for mesh encoding
+    (nvblox_to_disk_helpers.py:40), while here the dual-mapper state makes the
+    combined export straightforward.
+    """
     from nvblox_mindmap_tpu.data.dataset import pickle_zst
 
     mapper.update_feature_mesh(mapper_id)
-    vertices, features = get_vertices_and_features(mapper, mapper_id)
+    vertices, features = get_vertices_and_features(
+        mapper, mapper_id, remove_zero_features, num_excess_features
+    )
+    if include_dynamic:
+        mapper.update_feature_mesh(MapperId.DYNAMIC)
+        dyn_v, dyn_f = get_vertices_and_features(
+            mapper, MapperId.DYNAMIC, remove_zero_features, num_excess_features
+        )
+        vertices = np.concatenate([vertices, dyn_v], axis=0)
+        features = np.concatenate([features, dyn_f], axis=0)
     pickle_zst(
         {
             "vertices": vertices.astype(np.float16),

@@ -37,9 +37,15 @@ long long mm_zstd_decompress_file(const char* path, uint8_t* out,
                                   long long out_capacity) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
-  fseek(f, 0, SEEK_END);
+  if (fseek(f, 0, SEEK_END) != 0) {
+    fclose(f);
+    return -1;
+  }
   long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  if (fsize < 0 || fseek(f, 0, SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
   std::vector<uint8_t> comp(fsize);
   if (fread(comp.data(), 1, fsize, f) != (size_t)fsize) {
     fclose(f);
@@ -90,9 +96,15 @@ long long mm_zstd_decompress_file(const char* path, uint8_t* out,
 long long mm_zstd_decompress_file_alloc(const char* path, uint8_t** out_ptr) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
-  fseek(f, 0, SEEK_END);
+  if (fseek(f, 0, SEEK_END) != 0) {
+    fclose(f);
+    return -1;
+  }
   long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  if (fsize < 0 || fseek(f, 0, SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
   std::vector<uint8_t> comp(fsize);
   if (fread(comp.data(), 1, fsize, f) != (size_t)fsize) {
     fclose(f);
@@ -179,7 +191,16 @@ int mm_png_info(const char* path, int* width, int* height, int* channels,
   if (!f) return -1;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return -1;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return -1;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -204,7 +225,16 @@ int mm_png_decode(const char* path, uint8_t* out, long long out_capacity) {
   if (!f) return -1;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return -1;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return -1;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);

@@ -134,36 +134,60 @@ def decode_png(path: str) -> np.ndarray:
     rc = lib.mm_png_decode(
         path.encode(), out.ctypes.data_as(ctypes.c_void_p), out.nbytes
     )
-    assert rc == 0, f"png decode failed for {path}"
+    if rc != 0:
+        import imageio.v2 as imageio
+
+        return np.asarray(imageio.imread(path))
     return out
 
 
 def decode_png_batch(paths: Sequence[str], n_threads: int = 4
                      ) -> List[Optional[np.ndarray]]:
-    """Decode many PNGs concurrently via the native thread pool."""
+    """Decode many PNGs concurrently via the native thread pool.
+
+    Returns None for entries that could not be decoded (missing or corrupt
+    files); valid entries around them are unaffected.
+    """
     lib = _load()
     if lib is None:
-        return [decode_png(p) for p in paths]
-    outs: List[Optional[np.ndarray]] = []
-    c_paths = (ctypes.c_char_p * len(paths))()
-    c_outs = (ctypes.c_void_p * len(paths))()
-    c_caps = (ctypes.c_longlong * len(paths))()
+        results: List[Optional[np.ndarray]] = []
+        for p in paths:
+            try:
+                results.append(decode_png(p))
+            except Exception:
+                results.append(None)
+        return results
+    outs: List[Optional[np.ndarray]] = [None] * len(paths)
+    valid: List[int] = []
     for i, path in enumerate(paths):
         shape = _png_shape(lib, path)
         if shape is None:
-            outs.append(None)
-            c_paths[i] = path.encode()
-            c_outs[i] = None
-            c_caps[i] = 0
             continue
         h, w, c, bits = shape
         dtype = np.uint16 if bits == 16 else np.uint8
-        arr = np.empty((h, w, c) if c > 1 else (h, w), dtype=dtype)
-        outs.append(arr)
-        c_paths[i] = path.encode()
-        c_outs[i] = arr.ctypes.data_as(ctypes.c_void_p).value
-        c_caps[i] = arr.nbytes
-    failures = lib.mm_png_decode_batch(c_paths, c_outs, c_caps, len(paths),
+        outs[i] = np.empty((h, w, c) if c > 1 else (h, w), dtype=dtype)
+        valid.append(i)
+    if not valid:
+        return outs
+    c_paths = (ctypes.c_char_p * len(valid))()
+    c_outs = (ctypes.c_void_p * len(valid))()
+    c_caps = (ctypes.c_longlong * len(valid))()
+    for j, i in enumerate(valid):
+        arr = outs[i]
+        c_paths[j] = paths[i].encode()
+        c_outs[j] = arr.ctypes.data_as(ctypes.c_void_p).value
+        c_caps[j] = arr.nbytes
+    failures = lib.mm_png_decode_batch(c_paths, c_outs, c_caps, len(valid),
                                        n_threads)
-    assert failures == 0, f"{failures} png decode failures in batch"
+    if failures != 0:
+        # The batch call only reports a count; retry each entry individually
+        # to pinpoint and null out the failed ones.
+        for i in valid:
+            arr = outs[i]
+            rc = lib.mm_png_decode(
+                paths[i].encode(), arr.ctypes.data_as(ctypes.c_void_p),
+                arr.nbytes,
+            )
+            if rc != 0:
+                outs[i] = None
     return outs

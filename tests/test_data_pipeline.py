@@ -22,7 +22,7 @@ N_FRAMES = 120
 
 
 def write_arm_demo(demo_dir, n_frames=N_FRAMES, n_vertices=300, seed=0,
-                   outcome=1):
+                   outcome=1, with_segmentation=False):
     """Synthesize a pick-and-place-like arm demo in the reference layout."""
     import imageio.v2 as imageio
 
@@ -45,6 +45,11 @@ def write_arm_demo(demo_dir, n_frames=N_FRAMES, n_vertices=300, seed=0,
     jaws[86:] = 0.04
 
     np.save(os.path.join(demo_dir, "demo_successful.npy"), np.asarray(outcome))
+    if with_segmentation:
+        import json
+
+        with open(os.path.join(demo_dir, "semantic_labels.json"), "w") as f:
+            json.dump({"0": "background", "2": "robot_arm"}, f)
     for i in range(n_frames):
         state = np.concatenate([pos[i], quat[i], jaws[i]]).astype(np.float32)
         np.save(os.path.join(demo_dir, f"{i}.robot_state.npy"), state)
@@ -60,6 +65,12 @@ def write_arm_demo(demo_dir, n_frames=N_FRAMES, n_vertices=300, seed=0,
             os.path.join(demo_dir, f"{i}.wrist_intrinsics.npy"),
             np.asarray([[20.0, 0, 16], [0, 20.0, 16], [0, 0, 1]], dtype=np.float32),
         )
+        if with_segmentation:
+            # A 'robot_arm' blob sweeping left-to-right across the frames.
+            seg = np.zeros((32, 32), dtype=np.uint8)
+            x0 = (i * 2) % 24
+            seg[12:20, x0 : x0 + 8] = 2
+            imageio.imwrite(os.path.join(demo_dir, f"{i}.wrist_semantic.png"), seg)
         vertices = rng.uniform(-0.2, 0.9, size=(n_vertices, 3)).astype(np.float16)
         features = rng.normal(size=(n_vertices, 8)).astype(np.float16)
         pickle_zst(
@@ -276,3 +287,42 @@ def test_system_utils():
 
     assert get_process_memory_mb() > 10  # this process uses real memory
     assert get_shmem_usage_mb() >= 0
+
+
+def test_loader_early_stop_releases_prefetch_worker(tmp_path):
+    """Abandoning the iterator mid-epoch must not leak the worker thread
+    (trainer.evaluate_nsteps breaks early every validation pass)."""
+    import threading
+    import time
+
+    from nvblox_mindmap_tpu.data.data_types import DataType
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_without_augmentations
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    write_arm_demo(tmp_path / "demo_00000")
+    loader, _ = get_data_loader_without_augmentations(
+        embodiment=ArmEmbodiment(),
+        dataset_path=str(tmp_path),
+        demos="0",
+        num_workers=0,
+        batch_size=1,
+        use_keyposes=False,
+        data_type=DataType.MESH,
+        extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+        num_history=1,
+        prediction_horizon=1,
+        num_vertices_to_sample=16,
+        vertex_sampling_method=VertexSamplingMethod.RANDOM_WITH_REPLACEMENT,
+    )
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # generator finalizer -> stop flag -> worker exits
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

@@ -80,3 +80,39 @@ def test_datasets_are_close_detects_drift(tmp_path):
     np.save(path, state)
     close, mismatches = datasets_are_close(str(a), str(b))
     assert not close and "5.robot_state.npy" in mismatches
+
+
+def test_datagen_include_dynamic_end_to_end(tmp_path):
+    """Datagen with a recorded segmentation channel: the replay boundary
+    surfaces CameraFrame.segmentation, the dynamic mask routes robot pixels
+    to the DYNAMIC mapper, and the combined export succeeds."""
+    root = tmp_path / "raw"
+    demo = root / "demo_00000"
+    write_arm_demo(str(demo), seed=0, with_segmentation=True)
+    for p in glob.glob(str(demo / "*.nvblox_vertex_features.zst")):
+        os.remove(p)
+
+    # The replay env exposes segmentation + the label map.
+    from nvblox_mindmap_tpu.closed_loop.environment import ReplayEnvironment
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    env = ReplayEnvironment(str(demo), ArmEmbodiment(), ["wrist"])
+    frame = env.get_cameras()["wrist"]
+    assert frame.segmentation is not None and frame.segmentation.shape == (32, 32)
+    assert env.semantic_id_to_class == {0: "background", 2: "robot_arm"}
+
+    from nvblox_mindmap_tpu.apps.run_datagen import main as datagen_main
+
+    datagen_main(
+        [
+            "--task", "cube_stacking",  # dynamic_class_labels=("robot_arm",)
+            "--output_dir", str(root),
+            "--demos_datagen", "0",
+            "--feature_type", "rgb",
+            "--voxel_size_m", "0.04",
+            "--max_num_steps", "4",
+            "--include_dynamic", "1",
+        ]
+    )
+    meshes = sorted(glob.glob(str(demo / "*.nvblox_vertex_features.zst")))
+    assert len(meshes) == 4

@@ -292,3 +292,139 @@ def test_dense_feature_and_color_queries():
     X, Y, Z = cfg.grid_shape
     zs = np.asarray(vg.voxel_centers_flat(cfg)).reshape(X, Y, Z, 3)[..., 2]
     assert np.all(np.abs(zs[populated] - 1.0) <= cfg.truncation_distance_m + 0.03)
+
+
+def dynamic_config(feature_dim=8):
+    return MappingConfig(
+        voxel_size_m=0.02,
+        aabb_min_m=(-0.5, -0.5, 0.5),
+        aabb_max_m=(0.5, 0.5, 1.5),
+        tsdf_decay_factor=0.9,
+        min_integration_distance_m=0.1,
+        feature_dim=feature_dim,
+        max_feature_pages=512,
+        valid_depth_mask_erosion_iterations=1,
+        static_mask_erosion_iterations=1,
+        dynamic_mask_erosion_iterations=1,
+        use_dynamic_mask=True,
+        dynamic_class_labels=("robot",),
+    )
+
+
+def _robot_scene_frame(H, W, blob_x0):
+    """Wall at z=1 with a 24px 'robot' blob at z=0.7 starting at column x0."""
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    seg = np.zeros((H, W), dtype=np.uint8)
+    y0 = H // 2 - 12
+    depth[y0 : y0 + 24, blob_x0 : blob_x0 + 24] = 0.7
+    seg[y0 : y0 + 24, blob_x0 : blob_x0 + 24] = 2
+    return depth, seg
+
+
+def test_dynamic_mapper_routing_keeps_static_clean():
+    """A robot blob sweeping the scene: static mesh stays clean, the dynamic
+    mapper tracks the blob, and include_dynamic export contains both
+    (reference: isaaclab_nvblox_mapper.py:71-118 + nvblox_input_helpers)."""
+    from nvblox_mindmap_tpu.closed_loop.environment import (
+        dynamic_mask_from_segmentation,
+    )
+    from nvblox_mindmap_tpu.mapping.mapper import nvblox_integrate
+
+    cfg = dynamic_config()
+    mapper = Mapper.dual(cfg)
+    K, T, H, W = camera()
+    feat = np.broadcast_to(
+        np.arange(1, 9, dtype=np.float32) / 10.0, (H, W, 8)
+    ).copy()
+    rgb = np.full((H, W, 3), 0.5, dtype=np.float32)
+    id_to_class = {1: "table", 2: "robot"}
+
+    for step, x0 in enumerate([8, 20, 32]):
+        mapper.decay()
+        depth, seg = _robot_scene_frame(H, W, x0)
+        dyn = dynamic_mask_from_segmentation(seg, id_to_class, cfg.dynamic_class_labels)
+        assert dyn is not None and dyn.sum() == 24 * 24
+        nvblox_integrate(
+            mapper, cfg, depth, feat, K, T, rgb,
+            dynamic_mask=dyn, include_dynamic=True,
+        )
+
+    # Static mesh: only wall vertices (z ~ 1.0); the moving robot never fused.
+    mapper.update_feature_mesh(MapperId.STATIC, max_vertices=8192)
+    sv, _ = get_vertices_and_features(mapper, MapperId.STATIC)
+    assert sv.shape[0] > 50
+    assert np.all(sv[:, 2] > 1.0 - 4 * cfg.voxel_size_m), (
+        f"robot leaked into the static map: min z {sv[:, 2].min()}"
+    )
+
+    # Dynamic mesh: contains the blob surface near z=0.7.
+    mapper.update_feature_mesh(MapperId.DYNAMIC, max_vertices=8192)
+    dv, _ = get_vertices_and_features(mapper, MapperId.DYNAMIC)
+    near_blob = np.abs(dv[:, 2] - 0.7) < 4 * cfg.voxel_size_m
+    assert near_blob.sum() > 10, "dynamic mapper did not track the robot blob"
+
+    # include_dynamic export contains both surfaces.
+    import tempfile, os
+    from nvblox_mindmap_tpu.data.dataset import unpickle_zst
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "0.nvblox_vertex_features.zst")
+        save_feature_mesh_to_disk(mapper, path, include_dynamic=True)
+        data = unpickle_zst(path)
+    z = np.asarray(data["vertices"], dtype=np.float32)[:, 2]
+    assert (np.abs(z - 1.0) < 0.1).any() and (np.abs(z - 0.7) < 0.1).any()
+
+
+def test_zero_feature_vertex_filtering_and_excess_channels():
+    """remove_zero_features / num_excess_features parity with reference
+    nvblox_output_helpers.py:60-75."""
+    cfg = small_config(feature_dim=8)
+    mapper = Mapper({MapperId.STATIC: cfg})
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    feat = np.broadcast_to(
+        np.arange(1, 9, dtype=np.float32) / 10.0, (H, W, 8)
+    ).copy()
+    rgb = np.full((H, W, 3), 0.5, dtype=np.float32)
+
+    # Depth observed everywhere, features only on the left half: the right
+    # half becomes surface vertices with all-zero features.
+    mapper.add_depth_frame(depth, T, K)
+    feat_mask = np.zeros((H, W), dtype=bool)
+    feat_mask[:, : W // 2] = True
+    mapper.add_feature_frame(feat, T, K, feature_mask=feat_mask)
+    mapper.add_color_frame(rgb, T, K)
+    mapper.update_feature_mesh(MapperId.STATIC, max_vertices=8192)
+
+    v_all, f_all = get_vertices_and_features(mapper, MapperId.STATIC)
+    assert np.all(f_all.sum(axis=1) == 0) is not np.True_  # some features set
+    n_zero = int(np.all(f_all == 0, axis=1).sum())
+    assert n_zero > 0, "test scene should produce featureless vertices"
+
+    v_f, f_f = get_vertices_and_features(
+        mapper, MapperId.STATIC, remove_zero_features=True
+    )
+    assert v_f.shape[0] == v_all.shape[0] - n_zero
+    assert not np.any(np.all(f_f == 0, axis=1))
+
+    # Excess channels are dropped BEFORE the zero filter (reference order).
+    v_e, f_e = get_vertices_and_features(
+        mapper, MapperId.STATIC, remove_zero_features=True,
+        num_excess_features=3,
+    )
+    assert f_e.shape[1] == 5
+    assert not np.any(np.all(f_e == 0, axis=1))
+
+
+def test_include_dynamic_requires_segmentation():
+    from nvblox_mindmap_tpu.mapping.mapper import nvblox_integrate
+
+    cfg = dynamic_config()
+    mapper = Mapper.dual(cfg)
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    feat = np.zeros((H, W, 8), dtype=np.float32)
+    rgb = np.zeros((H, W, 3), dtype=np.float32)
+    with pytest.raises(ValueError, match="segmentation"):
+        nvblox_integrate(mapper, cfg, depth, feat, K, T, rgb,
+                         dynamic_mask=None, include_dynamic=True)

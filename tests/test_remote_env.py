@@ -54,3 +54,43 @@ def test_full_episode_through_the_bridge():
         remote.close()
     finally:
         server.stop()
+
+
+def test_codec_roundtrip_and_rejects_unknown():
+    from nvblox_mindmap_tpu.closed_loop.remote_env import (
+        decode_message,
+        encode_message,
+    )
+
+    msg = {
+        "method": "step",
+        "kwargs": {"goal": np.arange(8, dtype=np.float32)},
+        "flags": [True, False, None, 3, 2.5, "text", b"raw"],
+        "nested": {"img": np.zeros((4, 5, 3), dtype=np.uint8)},
+    }
+    out = decode_message(encode_message(msg))
+    assert out["method"] == "step"
+    np.testing.assert_array_equal(out["kwargs"]["goal"],
+                                  np.arange(8, dtype=np.float32))
+    assert out["flags"] == [True, False, None, 3, 2.5, "text", b"raw"]
+    assert out["nested"]["img"].shape == (4, 5, 3)
+
+    import pickle
+
+    import pytest
+
+    # A pickle payload (the classic RCE vector) is NOT decodable.
+    with pytest.raises(ValueError):
+        decode_message(pickle.dumps({"method": "reset"}))
+    # Arbitrary objects are NOT encodable.
+    with pytest.raises(TypeError):
+        encode_message({"cb": lambda: None})
+
+
+def test_server_binds_loopback_by_default():
+    import inspect
+
+    from nvblox_mindmap_tpu.closed_loop.remote_env import serve_environment
+
+    sig = inspect.signature(serve_environment)
+    assert sig.parameters["host"].default == "127.0.0.1"

@@ -60,3 +60,18 @@ def test_native_build_state(built):
     assert isinstance(native_available(), bool)
     if built:
         assert native_available()
+
+
+def test_png_batch_tolerates_corrupt_entry(tmp_path, built):
+    import imageio.v2 as imageio
+
+    good = tmp_path / "good.png"
+    imageio.imwrite(str(good), np.full((8, 8, 3), 7, dtype=np.uint8))
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nthis is not a real png")
+    missing = tmp_path / "missing.png"
+
+    out = decode_png_batch([str(good), str(bad), str(missing)])
+    assert out[0] is not None and out[0].shape == (8, 8, 3)
+    assert out[1] is None
+    assert out[2] is None
