@@ -105,48 +105,22 @@ def process_demo(
     logger.info("Fused %d frames for %s", n, demo_path)
 
 
-def make_mapping_feature_fn(feature_type, upscaled_size):
-    """Jitted (H, W, 3) [0,1] -> upscaled (Hf, Wf, F) feature extractor."""
-    import jax
+def make_mapping_feature_fn(feature_type, upscaled_size,
+                            backbone_weights=None,
+                            feature_image_size=(32, 32)):
+    """Jitted (H, W, 3) [0,1] -> upscaled (Hf, Wf, F) feature extractor.
 
-    from nvblox_mindmap_tpu.models.feature_extractors import (
-        FeatureExtractorType,
-        make_feature_extractor,
+    Non-RGB extractors require a converted pretrained checkpoint
+    (models/pretrained.py); running them randomly initialized is refused.
+    """
+    from nvblox_mindmap_tpu.models.pretrained import make_feature_fn
+
+    return make_feature_fn(
+        feature_type,
+        output_size=upscaled_size,
+        backbone_weights=backbone_weights,
+        feature_image_size=feature_image_size,
     )
-
-    if feature_type == FeatureExtractorType.RGB:
-
-        @jax.jit
-        def fn(rgb):
-            import jax.numpy as jnp
-
-            return jax.image.resize(
-                jnp.asarray(rgb)[None], (1, *upscaled_size, 3), method="bilinear"
-            )[0]
-
-        return fn
-
-    module = make_feature_extractor(feature_type, feature_image_size=(32, 32))
-    params = {}
-
-    @jax.jit
-    def fn(rgb, params):
-        import jax.numpy as jnp
-
-        feats = module.apply(params, jnp.asarray(rgb)[None])
-        return jax.image.resize(
-            feats, (1, *upscaled_size, feats.shape[-1]), method="bilinear"
-        )[0]
-
-    def wrapper(rgb):
-        nonlocal params
-        import jax
-
-        if not params:
-            params = module.init(jax.random.PRNGKey(0), np.zeros_like(rgb)[None])
-        return fn(rgb, params)
-
-    return wrapper
 
 
 def main(argv=None):
@@ -163,7 +137,10 @@ def main(argv=None):
         voxel_size_m=args.voxel_size_m,
     )
     feature_fn = make_mapping_feature_fn(
-        args.feature_type, mapping_config.upscaled_feature_image_size
+        args.feature_type,
+        mapping_config.upscaled_feature_image_size,
+        backbone_weights=args.backbone_weights,
+        feature_image_size=tuple(args.feature_image_size),
     )
     for demo_path in get_demo_paths(dataset, args.demos_datagen):
         process_demo(

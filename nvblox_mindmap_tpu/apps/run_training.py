@@ -112,6 +112,11 @@ def main(argv=None):
         val_freq=args.val_freq,
         num_batches_per_train_eval=args.num_batches_per_train_eval,
         num_batches_per_test_eval=args.num_batches_per_test_eval,
+        eval_num_inference_steps=(
+            args.eval_num_inference_steps
+            if args.eval_num_inference_steps > 0 else None
+        ),
+        eval_scheduler=args.eval_scheduler,
         skip_train_val=args.skip_train_val,
         print_timers_freq=args.print_timers_freq,
         print_progress_freq=args.print_progress_freq,
@@ -132,9 +137,19 @@ def main(argv=None):
         wandb_mode=args.wandb_mode,
         config=_to_dict(args),
     )
+    # A non-RGB extractor inside the model (rgbd data types) must start from
+    # pretrained weights unless resuming a (self-contained) checkpoint.
+    if args.data_type in ("rgbd", "rgbd_and_mesh") and not args.checkpoint:
+        from nvblox_mindmap_tpu.models.pretrained import require_backbone_weights
+
+        require_backbone_weights(
+            args.feature_type, args.backbone_weights, "training from scratch"
+        )
+
     train_loader, _, val_loader = build_loaders(args, embodiment)
     trainer = Trainer(
-        model_config, trainer_config, bounds, metric_logger=metric_logger
+        model_config, trainer_config, bounds, metric_logger=metric_logger,
+        backbone_weights=args.backbone_weights,
     )
 
     params = opt_state = None

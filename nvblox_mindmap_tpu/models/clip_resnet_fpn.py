@@ -22,6 +22,30 @@ import jax
 import jax.numpy as jnp
 
 
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with running statistics stored as (frozen) params.
+
+    The CLIP trunk is frozen in the reference (feature_extraction.py:434-442:
+    requires_grad=False everywhere but the FPN), so its batch statistics never
+    update. Keeping mean/var in the ``params`` collection (masked out by the
+    frozen-extractor optimizer mask like every other backbone param) means the
+    whole model lives in one collection: checkpoints stay self-contained and
+    the train step needs no mutable-collection plumbing.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        inv = scale * jax.lax.rsqrt(var + self.eps)
+        return x * inv + (bias - mean * inv)
+
+
 class Bottleneck(nn.Module):
     """CLIP anti-aliased bottleneck (expansion 4)."""
 
@@ -29,8 +53,8 @@ class Bottleneck(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        norm = lambda name: FrozenBatchNorm(name=name)
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         out = nn.relu(norm("bn1")(out))
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
@@ -59,8 +83,8 @@ class ModifiedResNetFeatures(nn.Module):
     width: int = 64
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
-        norm = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+    def __call__(self, x: jnp.ndarray):
+        norm = lambda name: FrozenBatchNorm(name=name)
         # 3-conv stem at stride 2.
         x = nn.Conv(self.width // 2, (3, 3), strides=2, padding=1, use_bias=False,
                     name="conv1")(x)
@@ -78,7 +102,7 @@ class ModifiedResNetFeatures(nn.Module):
             for b in range(blocks):
                 x = Bottleneck(
                     planes, stride if b == 0 else 1, name=f"layer{stage + 1}_{b}"
-                )(x, train)
+                )(x)
             feats.append(x)
             planes *= 2
         return feats  # [res1(64), res2(256), res3(512), res4(1024), res5(2048)]

@@ -51,6 +51,8 @@ class DiffuserActorConfig:
     data_type: str = "rgbd_and_mesh"  # "rgbd" | "mesh" | "rgbd_and_mesh"
     feature_type: FeatureExtractorType = FeatureExtractorType.RGB
     feature_image_size: Tuple[int, int] = (32, 32)
+    # CLS/register token count of the ViT backbone (None = hub default).
+    feature_num_prefix_tokens: Optional[int] = None
     fps_subsampling_factor: int = 5
     use_fps: bool = True
     use_instruction: bool = False
@@ -91,6 +93,7 @@ class DiffuserActor(nn.Module):
             encode_openness=cfg.encode_openness,
             feature_type=cfg.feature_type,
             feature_image_size=cfg.feature_image_size,
+            feature_num_prefix_tokens=cfg.feature_num_prefix_tokens,
             use_shared_feature_encoder=cfg.use_shared_feature_encoder,
             dropout=cfg.encoder_dropout,
         )

@@ -47,6 +47,7 @@ class Encoder(nn.Module):
     encode_openness: bool = True
     feature_type: FeatureExtractorType = FeatureExtractorType.RGB
     feature_image_size: Tuple[int, int] = (32, 32)
+    feature_num_prefix_tokens: Optional[int] = None
     use_shared_feature_encoder: bool = False
     dropout: float = 0.0
 
@@ -57,7 +58,9 @@ class Encoder(nn.Module):
 
         if uses_rgb:
             self.feature_extractor = make_feature_extractor(
-                self.feature_type, self.feature_image_size
+                self.feature_type,
+                self.feature_image_size,
+                num_prefix_tokens=self.feature_num_prefix_tokens,
             )
             self.image_feature_encoder = nn.Dense(
                 self.embedding_dim, name="image_feature_encoder"

@@ -50,6 +50,15 @@ NORMALIZATION = {
 }
 
 
+# Default CLS/register token counts of the pretrained hub checkpoints (both
+# RADIO and DINOv2 run a CLS token through attention; converted checkpoints
+# carrying a different count override this via their 'prefix_tokens' shape).
+DEFAULT_PREFIX_TOKENS = {
+    FeatureExtractorType.RADIO_V25_B: 1,
+    FeatureExtractorType.DINO_V2_VITS14: 1,
+}
+
+
 def get_feature_dim(t: FeatureExtractorType) -> int:
     return FEATURE_DIMS[t]
 
@@ -84,6 +93,13 @@ class VitFeatureExtractor(nn.Module):
     feature_image_size: Tuple[int, int] = (32, 32)
     mean_std: Tuple = _IDENTITY
     mlp_ratio: float = 4.0
+    # CLS / register tokens. The pretrained hub models (RADIO, DINOv2) run
+    # these through attention alongside the patches; they must be present for
+    # converted weights to reproduce the original patch features. Token values
+    # arrive pre-pos-embedded from the converter; they are dropped from the
+    # output (the policy consumes patch features only, reference
+    # RadioFeatureExtractorBase._extract_features_impl).
+    num_prefix_tokens: int = 0
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -111,6 +127,18 @@ class VitFeatureExtractor(nn.Module):
         )
         x = x + pos.astype(x.dtype)
 
+        if self.num_prefix_tokens > 0:
+            prefix = self.param(
+                "prefix_tokens",
+                nn.initializers.normal(0.02),
+                (1, self.num_prefix_tokens, self.width),
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(prefix.astype(x.dtype),
+                                  (B, self.num_prefix_tokens, C)), x],
+                axis=1,
+            )
+
         for i in range(self.depth):
             y = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(x).astype(jnp.bfloat16)
             y = nn.MultiHeadDotProductAttention(
@@ -125,6 +153,8 @@ class VitFeatureExtractor(nn.Module):
             x = x + y
 
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        if self.num_prefix_tokens > 0:
+            x = x[:, self.num_prefix_tokens:, :]
         return x.reshape(B, h, w, self.width).astype(jnp.float32)
 
 
@@ -132,10 +162,20 @@ def make_feature_extractor(
     t: FeatureExtractorType,
     feature_image_size: Tuple[int, int] = (32, 32),
     fpn_trainable: bool = True,
+    mean_std: Optional[Tuple] = None,
+    num_prefix_tokens: Optional[int] = None,
 ) -> nn.Module:
-    """Instantiate the extractor module for a registry type."""
+    """Instantiate the extractor module for a registry type.
+
+    ``mean_std`` overrides the registry input normalization - converted
+    checkpoints that carry their own conditioner stats (e.g. RADIO's
+    input_conditioner) pass them through here. ``num_prefix_tokens``
+    overrides the hub default CLS/register token count.
+    """
     if t == FeatureExtractorType.RGB:
         return RgbFeatureExtractor(feature_image_size=feature_image_size)
+    if num_prefix_tokens is None:
+        num_prefix_tokens = DEFAULT_PREFIX_TOKENS.get(t, 0)
     if t == FeatureExtractorType.RADIO_V25_B:
         return VitFeatureExtractor(
             patch_size=16,
@@ -143,7 +183,8 @@ def make_feature_extractor(
             depth=12,
             num_heads=12,
             feature_image_size=feature_image_size,
-            mean_std=NORMALIZATION[t],
+            mean_std=mean_std or NORMALIZATION[t],
+            num_prefix_tokens=num_prefix_tokens,
         )
     if t == FeatureExtractorType.DINO_V2_VITS14:
         return VitFeatureExtractor(
@@ -152,7 +193,8 @@ def make_feature_extractor(
             depth=12,
             num_heads=6,
             feature_image_size=feature_image_size,
-            mean_std=NORMALIZATION[t],
+            mean_std=mean_std or NORMALIZATION[t],
+            num_prefix_tokens=num_prefix_tokens,
         )
     if t == FeatureExtractorType.CLIP_RESNET50_FPN:
         from nvblox_mindmap_tpu.models.clip_resnet_fpn import ClipResNet50Fpn

@@ -36,6 +36,7 @@ def convert_torch_vit_weights(
     num_heads: int,
     prefix: str = "",
     num_prefix_tokens: int = 1,
+    keep_prefix_tokens: bool = True,
 ) -> Dict:
     """Map a timm/DINOv2-style ViT state dict onto VitFeatureExtractor params.
 
@@ -44,7 +45,11 @@ def convert_torch_vit_weights(
         depth: number of transformer blocks.
         num_heads: attention heads.
         prefix: optional key prefix in the state dict (e.g. "model.").
-        num_prefix_tokens: CLS (+ register) tokens to drop from pos_embed.
+        num_prefix_tokens: CLS (+ register) entries at the head of pos_embed.
+        keep_prefix_tokens: emit a 'prefix_tokens' param (cls/register token
+            values with their pos-embed slice folded in) so the flax module
+            runs them through attention like the original - required for
+            numerical fidelity; the module drops them from its output.
 
     Returns:
         flax params dict for VitFeatureExtractor.
@@ -60,6 +65,22 @@ def convert_torch_vit_weights(
     }
     pos = sd["pos_embed"]  # (1, prefix+N, E)
     params["pos_embed"] = pos[:, num_prefix_tokens:, :]
+
+    if keep_prefix_tokens:
+        width_ = conv_w.shape[0]
+        tokens = []
+        if "cls_token" in sd:
+            tokens.append(sd["cls_token"].reshape(1, -1, width_))
+        if "register_tokens" in sd:
+            tokens.append(sd["register_tokens"].reshape(1, -1, width_))
+        if "reg_token" in sd:
+            tokens.append(sd["reg_token"].reshape(1, -1, width_))
+        if tokens:
+            prefix_tokens = np.concatenate(tokens, axis=1).copy()
+            folded = min(num_prefix_tokens, prefix_tokens.shape[1])
+            if folded > 0:
+                prefix_tokens[:, :folded] += pos[:, :folded]
+            params["prefix_tokens"] = prefix_tokens
 
     width = conv_w.shape[0]
     head_dim = width // num_heads
@@ -124,16 +145,14 @@ def _conv(w: np.ndarray) -> Dict[str, np.ndarray]:
     return {"kernel": np.asarray(w).transpose(2, 3, 1, 0)}
 
 
-def _batchnorm(prefix: str, sd: Dict[str, np.ndarray]):
-    params = {
+def _batchnorm(prefix: str, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torch BatchNorm2d -> FrozenBatchNorm params (running stats included)."""
+    return {
         "scale": np.asarray(sd[prefix + ".weight"]),
         "bias": np.asarray(sd[prefix + ".bias"]),
-    }
-    stats = {
         "mean": np.asarray(sd[prefix + ".running_mean"]),
         "var": np.asarray(sd[prefix + ".running_var"]),
     }
-    return params, stats
 
 
 def convert_clip_resnet_weights(
@@ -144,36 +163,136 @@ def convert_clip_resnet_weights(
     Accepts keys with or without the ``visual.`` prefix of the full CLIP
     checkpoint (reference: image_processing/feature_extraction.py:473-476
     loads the RN50 trunk). The attention-pool head is ignored - the extractor
-    taps intermediate feature maps only. Returns
-    {"params": ..., "batch_stats": ...} for the ``backbone`` submodule of
-    ClipResNet50Fpn.
+    taps intermediate feature maps only. Returns a single params tree (batch
+    statistics live in FrozenBatchNorm params) for the ``backbone`` submodule
+    of ClipResNet50Fpn.
     """
     sd = {
         (k[len("visual."):] if k.startswith("visual.") else k): v
         for k, v in state_dict.items()
     }
     params: Dict = {}
-    stats: Dict = {}
     for i in (1, 2, 3):
         params[f"conv{i}"] = _conv(sd[f"conv{i}.weight"])
-        params[f"bn{i}"], stats[f"bn{i}"] = _batchnorm(f"bn{i}", sd)
+        params[f"bn{i}"] = _batchnorm(f"bn{i}", sd)
     for stage, blocks in enumerate(layers):
         for b in range(blocks):
             name = f"layer{stage + 1}_{b}"
             t = f"layer{stage + 1}.{b}"
             mp: Dict = {}
-            ms: Dict = {}
             for j in (1, 2, 3):
                 mp[f"conv{j}"] = _conv(sd[f"{t}.conv{j}.weight"])
-                mp[f"bn{j}"], ms[f"bn{j}"] = _batchnorm(f"{t}.bn{j}", sd)
+                mp[f"bn{j}"] = _batchnorm(f"{t}.bn{j}", sd)
             if f"{t}.downsample.0.weight" in sd:
                 mp["downsample_conv"] = _conv(sd[f"{t}.downsample.0.weight"])
-                mp["downsample_bn"], ms["downsample_bn"] = _batchnorm(
-                    f"{t}.downsample.1", sd
-                )
+                mp["downsample_bn"] = _batchnorm(f"{t}.downsample.1", sd)
             params[name] = mp
-            stats[name] = ms
-    return {"params": params, "batch_stats": stats}
+    return {"params": params}
+
+
+def convert_radio_vit_weights(
+    state_dict: Dict[str, np.ndarray],
+    depth: int = 12,
+    num_heads: int = 12,
+) -> Dict:
+    """Map a RADIO torch-hub checkpoint onto VitFeatureExtractor params.
+
+    The RADIO hub model (reference: feature_extraction.py:360-370 loads
+    ``NVlabs/RADIO`` ``radio_v2.5-b``) wraps a ViT whose stem is a
+    ``patch_generator`` (linear patch embedder + cls/register tokens + a
+    cropped position embedding) and whose inputs pass through an
+    ``input_conditioner`` holding normalization tensors. This converter:
+
+    - strips the ``radio_model.``/``base_model.``/``model.`` wrappers,
+    - accepts either a timm stem (``patch_embed.proj.*`` conv weights) or the
+      RADIO ``patch_generator`` stem (Conv2d or flattened-Linear embedder),
+    - drops cls/register tokens (the policy consumes patch features only;
+      reference RadioFeatureExtractorBase keeps only the spatial features),
+    - reads ``input_conditioner.norm_mean/norm_std`` when present and returns
+      them under ``norm_mean``/``norm_std`` so the flax module can apply the
+      identical input normalization.
+
+    Returns {"params": ..., "norm_mean": (3,)?, "norm_std": (3,)?}.
+    Verify converted checkpoints against a stored activation fixture
+    (tests/test_backbone_golden.py; reference pattern:
+    mindmap/tests/test_feature_extraction.py:15-50).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    for wrapper in ("radio_model.", "base_model.", "model."):
+        if any(k.startswith(wrapper + "blocks.") for k in sd):
+            sd = {
+                k[len(wrapper):] if k.startswith(wrapper) else k: v
+                for k, v in sd.items()
+            }
+
+    out: Dict = {}
+    mean = sd.get("input_conditioner.norm_mean")
+    std = sd.get("input_conditioner.norm_std")
+    if mean is not None:
+        out["norm_mean"] = np.asarray(mean).reshape(-1)
+    if std is not None:
+        out["norm_std"] = np.asarray(std).reshape(-1)
+
+    if "patch_generator.embedder.weight" in sd:
+        emb_w = sd["patch_generator.embedder.weight"]
+        emb_b = sd.get(
+            "patch_generator.embedder.bias",
+            np.zeros(emb_w.shape[0], emb_w.dtype),
+        )
+        if emb_w.ndim == 4:  # Conv2d (E, 3, p, p)
+            patch = {
+                "kernel": emb_w.transpose(2, 3, 1, 0),
+                "bias": emb_b,
+            }
+        else:  # Linear over flattened patches: (E, p*p*3) in RADIO's
+            # (3, p, p) -> channels-first flatten order; flax Conv expects
+            # (p, p, 3, E).
+            e, flat = emb_w.shape
+            p = int(round(np.sqrt(flat / 3)))
+            assert 3 * p * p == flat, f"non-square patch embedder: {emb_w.shape}"
+            patch = {
+                "kernel": emb_w.reshape(e, 3, p, p).transpose(2, 3, 1, 0),
+                "bias": emb_b,
+            }
+        pos = sd["patch_generator.pos_embed"]  # (1, N, E), patches only
+        vit_sd = dict(sd)
+        vit_sd["patch_embed.proj.weight"] = np.zeros(
+            (patch["kernel"].shape[3], 3, patch["kernel"].shape[0],
+             patch["kernel"].shape[1]),
+            patch["kernel"].dtype,
+        )
+        vit_sd["patch_embed.proj.bias"] = patch["bias"]
+        vit_sd["pos_embed"] = pos
+        params = convert_torch_vit_weights(
+            vit_sd, depth=depth, num_heads=num_heads, num_prefix_tokens=0,
+            keep_prefix_tokens=False,
+        )
+        params["patch_embed"] = patch
+        # RADIO's patch_generator concatenates cls/register tokens after the
+        # (patch-only) pos embed; they attend, so keep them as prefix tokens.
+        width_ = patch["kernel"].shape[-1]
+        tokens = []
+        for key in (
+            "patch_generator.cls_token.token",
+            "patch_generator.cls_token",
+            "patch_generator.register_tokens",
+            "patch_generator.registers",
+        ):
+            if key in sd:
+                tokens.append(sd[key].reshape(1, -1, width_))
+        if tokens:
+            params["prefix_tokens"] = np.concatenate(tokens, axis=1)
+    else:
+        n_prefix = 0
+        if "cls_token" in sd:
+            n_prefix += sd["cls_token"].shape[1] if sd["cls_token"].ndim == 3 else 1
+        if "register_tokens" in sd:
+            n_prefix += sd["register_tokens"].shape[1]
+        params = convert_torch_vit_weights(
+            sd, depth=depth, num_heads=num_heads, num_prefix_tokens=n_prefix
+        )
+    out["params"] = params
+    return out
 
 
 def save_variables_npz(path: str, variables: Dict) -> None:

@@ -69,6 +69,9 @@ class TrainerConfig:
     print_timers_freq: int = 1000
     print_progress_freq: int = 100
     save_checkpoint: bool = True
+    # Validation-sampler cost knobs: DDIM-10 by default (None = full DDPM).
+    eval_num_inference_steps: Optional[int] = 10
+    eval_scheduler: str = "ddim"
     checkpoint_dir: str = "checkpoints"
     # "msgpack" (single portable file) or "orbax" (async, sharded-array-aware).
     checkpoint_backend: str = "msgpack"
@@ -127,8 +130,10 @@ class Trainer:
         workspace_bounds: np.ndarray,
         mesh=None,
         metric_logger=None,
+        backbone_weights: Optional[str] = None,
     ):
         self.metric_logger = metric_logger
+        self.backbone_weights = backbone_weights
         self.model_config = model_config
         self.config = trainer_config
         if trainer_config.checkpoint_backend not in ("msgpack", "orbax"):
@@ -164,6 +169,16 @@ class Trainer:
         ts = jnp.zeros((B,), dtype=jnp.int32)
         variables = self.model.init(rng, prepared, noisy, ts)
         params = variables["params"]
+        if self.backbone_weights and self.model_config.data_type in (
+            "rgbd", "rgbd_and_mesh",
+        ):
+            from nvblox_mindmap_tpu.models.pretrained import (
+                graft_backbone_into_model_params,
+            )
+
+            params = graft_backbone_into_model_params(
+                params, self.model_config.feature_type, self.backbone_weights
+            )
         tx = self._make_tx(params)
         opt_state = tx.init(params)
         params = replicate(params, self.mesh)
@@ -222,12 +237,20 @@ class Trainer:
         model = self.model
         cfg = self.model_config
         bounds = self.workspace_bounds
+        # Train-val sampling runs the cheap DDIM path by default (10 steps vs
+        # the 100-step DDPM production sampler): ~10x faster val iterations,
+        # same metric ranking (the reference evaluates losses even more
+        # cheaply, run_training.py:249-378). Set eval_num_inference_steps=None
+        # for full-fidelity eval sampling.
+        n_steps = self.config.eval_num_inference_steps
+        kind = self.config.eval_scheduler
 
         @jax.jit
         def eval_step(params, batch, rng):
             prepared = prepare_inputs(batch, bounds, cfg)
             traj_pred_9, head_yaw, _ = _sample_normalized(
-                model, {"params": params}, prepared, rng, cfg
+                model, {"params": params}, prepared, rng, cfg,
+                num_inference_steps=n_steps, scheduler_kind=kind,
             )
             # Loss against the normalized GT trajectory (reference
             # evaluate_nsteps computes loss on the sampled trajectory).
@@ -467,9 +490,10 @@ def _to_jnp(batch: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
-def _sample_normalized(model, variables, prepared, rng, cfg):
+def _sample_normalized(model, variables, prepared, rng, cfg,
+                       num_inference_steps=None, scheduler_kind="ddpm"):
     """Sampler in normalized space (no unnormalize), for eval losses."""
-    pos_sched, rot_sched = cfg.schedules()
+    pos_sched, rot_sched = cfg.schedules(kind=scheduler_kind)
     fixed = model.apply(
         variables,
         prepared.get("rgbs"),
@@ -485,7 +509,7 @@ def _sample_normalized(model, variables, prepared, rng, cfg):
     )
     B = prepared["gripper_history"].shape[0]
     L, G = cfg.prediction_horizon, cfg.ngrippers
-    timesteps = pos_sched.timesteps()
+    timesteps = pos_sched.timesteps(num_inference_steps)
     T = timesteps.shape[0]
     all_keys = jax.random.split(rng, T + 1)
     init_key, step_keys = all_keys[0], all_keys[1:]

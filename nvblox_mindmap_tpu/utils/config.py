@@ -60,6 +60,9 @@ class ModelArgs:
     only_sample_keyposes: bool = False
     image_size: Tuple[int, int] = (512, 512)
     feature_image_size: Tuple[int, int] = (32, 32)
+    # CLS/register token count of the (converted) ViT backbone; None uses the
+    # hub default (1). Must match the 'prefix_tokens' in --backbone_weights.
+    feature_num_prefix_tokens: Optional[int] = None
     embedding_dim: int = 120
     num_vis_ins_attn_layers: int = 2
     use_instruction: int = 0
@@ -133,6 +136,12 @@ class SystemArgs:
     ignore_model_args_json: bool = False
     checkpoint: Optional[str] = None
     fpn_checkpoint: Optional[str] = None
+    # Converted pretrained backbone weights (.npz; see
+    # docs/pages/pretrained_weights.md). Required whenever a non-RGB feature
+    # extractor forward runs (datagen, rgbd-type training from scratch,
+    # closed-loop mapping). Deliberately NOT a ModelArg: checkpoints are
+    # self-contained (grafted weights are saved with the model).
+    backbone_weights: Optional[str] = None
     dataset: Optional[str] = None
     base_log_dir: str = "train_logs"
     wandb_name: Optional[str] = None
@@ -176,6 +185,9 @@ class TrainingAppArgs(ModelArgs, SystemArgs, DataGenArgs):
     print_progress_freq: int = 100
     num_batches_per_train_eval: int = 10
     num_batches_per_test_eval: int = -1
+    # Validation-sampler cost: DDIM-10 by default; <=0 = full DDPM sampling.
+    eval_num_inference_steps: int = 10
+    eval_scheduler: str = "ddim"
     max_episode_length: int = 5
     viz_freq: int = 200
     skip_train_val: bool = False
@@ -384,6 +396,7 @@ def model_config_from_args(args: ModelArgs):
         else args.data_type,
         feature_type=args.feature_type,
         feature_image_size=tuple(args.feature_image_size),
+        feature_num_prefix_tokens=args.feature_num_prefix_tokens,
         fps_subsampling_factor=args.fps_subsampling_factor,
         use_fps=bool(args.use_fps),
         use_instruction=bool(args.use_instruction),

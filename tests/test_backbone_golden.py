@@ -1,0 +1,297 @@
+"""Backbone conversion fidelity: hub-layout converters + golden fixtures.
+
+The reference pins its feature extractors against stored activation baselines
+(reference: mindmap/tests/test_feature_extraction.py:15-50, baselines like
+tests/test_data/RADIO_V25_B.zst). This file does the equivalent offline:
+
+1. Converter fidelity against locally constructed torch models that mimic the
+   hub layouts (timm/DINOv2 with an attending CLS token; RADIO's
+   patch_generator stem with input conditioner + cls/register tokens).
+2. A golden-activation harness: when a fixture produced from the REAL hub
+   checkpoint exists at tests/test_data/backbones/<type>_golden.npz
+   (keys: rgb (1,H,W,3) in [0,1], expected (1,h,w,C), weights = path-relative
+   converted npz), the flax forward is pinned against it. Skipped when absent
+   (this host has no egress to download hub checkpoints).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nvblox_mindmap_tpu.models.feature_extractors import (
+    FeatureExtractorType,
+    VitFeatureExtractor,
+)
+from nvblox_mindmap_tpu.models.weight_conversion import (
+    convert_radio_vit_weights,
+    convert_torch_vit_weights,
+)
+
+torch = pytest.importorskip("torch")
+
+WIDTH, HEADS, DEPTH, PATCH = 16, 2, 2, 4
+GRID = 4
+
+
+class TorchBlock(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(WIDTH)
+        self.qkv = torch.nn.Linear(WIDTH, 3 * WIDTH)
+        self.proj = torch.nn.Linear(WIDTH, WIDTH)
+        self.norm2 = torch.nn.LayerNorm(WIDTH)
+        self.fc1 = torch.nn.Linear(WIDTH, 4 * WIDTH)
+        self.fc2 = torch.nn.Linear(4 * WIDTH, WIDTH)
+
+    def forward(self, x):
+        B, N, E = x.shape
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(B, N, 3, HEADS, E // HEADS)
+        q, k, v = qkv.unbind(2)
+        attn = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(E // HEADS)
+        attn = attn.softmax(-1)
+        h = torch.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, E)
+        x = x + self.proj(h)
+        h = self.norm2(x)
+        return x + self.fc2(torch.nn.functional.gelu(self.fc1(h)))
+
+    def state_into(self, sd, b):
+        sd[b + "norm1.weight"] = self.norm1.weight.detach().numpy()
+        sd[b + "norm1.bias"] = self.norm1.bias.detach().numpy()
+        sd[b + "norm2.weight"] = self.norm2.weight.detach().numpy()
+        sd[b + "norm2.bias"] = self.norm2.bias.detach().numpy()
+        sd[b + "attn.qkv.weight"] = self.qkv.weight.detach().numpy()
+        sd[b + "attn.qkv.bias"] = self.qkv.bias.detach().numpy()
+        sd[b + "attn.proj.weight"] = self.proj.weight.detach().numpy()
+        sd[b + "attn.proj.bias"] = self.proj.bias.detach().numpy()
+        sd[b + "mlp.fc1.weight"] = self.fc1.weight.detach().numpy()
+        sd[b + "mlp.fc1.bias"] = self.fc1.bias.detach().numpy()
+        sd[b + "mlp.fc2.weight"] = self.fc2.weight.detach().numpy()
+        sd[b + "mlp.fc2.bias"] = self.fc2.bias.detach().numpy()
+
+
+class TorchVitWithCls(torch.nn.Module):
+    """DINOv2/timm-style ViT: CLS token runs through attention."""
+
+    def __init__(self):
+        super().__init__()
+        self.patch = torch.nn.Conv2d(3, WIDTH, PATCH, stride=PATCH)
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, WIDTH) * 0.02)
+        self.pos_embed = torch.nn.Parameter(
+            torch.randn(1, 1 + GRID * GRID, WIDTH) * 0.02
+        )
+        self.blocks = torch.nn.ModuleList([TorchBlock() for _ in range(DEPTH)])
+        self.norm = torch.nn.LayerNorm(WIDTH)
+
+    def forward(self, x_bchw):
+        x = self.patch(x_bchw).flatten(2).transpose(1, 2)  # (B, N, E)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)[:, 1:]  # patch tokens only
+
+    def timm_state_dict(self):
+        sd = {
+            "patch_embed.proj.weight": self.patch.weight.detach().numpy(),
+            "patch_embed.proj.bias": self.patch.bias.detach().numpy(),
+            "cls_token": self.cls_token.detach().numpy(),
+            "pos_embed": self.pos_embed.detach().numpy(),
+            "norm.weight": self.norm.weight.detach().numpy(),
+            "norm.bias": self.norm.bias.detach().numpy(),
+        }
+        for i, blk in enumerate(self.blocks):
+            blk.state_into(sd, f"blocks.{i}.")
+        return sd
+
+
+class TorchRadioLike(torch.nn.Module):
+    """Mimics the RADIO hub model: input_conditioner + patch_generator stem
+    (linear patch embedder, patch-only pos embed, cls + register tokens) +
+    transformer trunk; spatial output drops the prefix tokens
+    (reference: feature_extraction.py:319-337 keeps only spatial features).
+    """
+
+    NUM_REGISTERS = 3
+
+    def __init__(self):
+        super().__init__()
+        self.register_buffer(
+            "norm_mean", torch.tensor([0.45, 0.45, 0.45]).view(1, 3, 1, 1)
+        )
+        self.register_buffer(
+            "norm_std", torch.tensor([0.25, 0.25, 0.25]).view(1, 3, 1, 1)
+        )
+        self.embedder = torch.nn.Linear(3 * PATCH * PATCH, WIDTH)
+        self.pos_embed = torch.nn.Parameter(
+            torch.randn(1, GRID * GRID, WIDTH) * 0.02
+        )
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, WIDTH) * 0.02)
+        self.registers = torch.nn.Parameter(
+            torch.randn(1, self.NUM_REGISTERS, WIDTH) * 0.02
+        )
+        self.blocks = torch.nn.ModuleList([TorchBlock() for _ in range(DEPTH)])
+        self.norm = torch.nn.LayerNorm(WIDTH)
+
+    def forward(self, x_bchw):
+        x = (x_bchw - self.norm_mean) / self.norm_std
+        # Extract patches in channels-first flatten order (c, p1, p2) to
+        # match the converter's weight view (E, 3, p, p).
+        B = x.shape[0]
+        x = x.unfold(2, PATCH, PATCH).unfold(3, PATCH, PATCH)  # B,3,g,g,p,p
+        x = x.permute(0, 2, 3, 1, 4, 5).reshape(B, GRID * GRID, -1)
+        x = self.embedder(x) + self.pos_embed
+        prefix = torch.cat(
+            [self.cls_token, self.registers], dim=1
+        ).expand(B, -1, -1)
+        x = torch.cat([prefix, x], dim=1)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)[:, 1 + self.NUM_REGISTERS:]
+
+    def hub_state_dict(self):
+        sd = {
+            "input_conditioner.norm_mean": self.norm_mean.numpy(),
+            "input_conditioner.norm_std": self.norm_std.numpy(),
+            "model.patch_generator.embedder.weight":
+                self.embedder.weight.detach().numpy(),
+            "model.patch_generator.embedder.bias":
+                self.embedder.bias.detach().numpy(),
+            "model.patch_generator.pos_embed": self.pos_embed.detach().numpy(),
+            "model.patch_generator.cls_token.token":
+                self.cls_token.detach().numpy(),
+            "model.patch_generator.register_tokens":
+                self.registers.detach().numpy(),
+            "model.norm.weight": self.norm.weight.detach().numpy(),
+            "model.norm.bias": self.norm.bias.detach().numpy(),
+        }
+        for i, blk in enumerate(self.blocks):
+            blk.state_into(sd, f"model.blocks.{i}.")
+        return sd
+
+
+def _flax_forward(params, img, num_prefix_tokens, mean_std=None):
+    module = VitFeatureExtractor(
+        patch_size=PATCH,
+        width=WIDTH,
+        depth=DEPTH,
+        num_heads=HEADS,
+        feature_image_size=(GRID, GRID),
+        mean_std=mean_std or ([0.0] * 3, [1.0] * 3),
+        num_prefix_tokens=num_prefix_tokens,
+    )
+    return np.asarray(module.apply({"params": params}, jnp.asarray(img)))
+
+
+def _assert_close(ours, ref, tag):
+    err = np.abs(ours - ref).max()
+    scale = np.abs(ref).max()
+    assert err / scale < 0.08, (tag, err, scale)
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, (tag, corr)
+
+
+def test_cls_token_participates_in_attention():
+    """Converted DINOv2-style weights only match when the CLS token attends -
+    guards against silently dropping prefix tokens (changes every feature)."""
+    torch.manual_seed(0)
+    model = TorchVitWithCls().eval()
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, GRID * PATCH, GRID * PATCH, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+    ref = ref.reshape(1, GRID, GRID, WIDTH)
+
+    params = convert_torch_vit_weights(
+        model.timm_state_dict(), depth=DEPTH, num_heads=HEADS,
+        num_prefix_tokens=1,
+    )
+    assert params["prefix_tokens"].shape == (1, 1, WIDTH)
+    ours = _flax_forward(params, img, num_prefix_tokens=1)
+    _assert_close(ours, ref, "cls-attending")
+
+    # Without the prefix token the outputs diverge - proof the token matters.
+    no_prefix = {k: v for k, v in params.items() if k != "prefix_tokens"}
+    wrong = _flax_forward(no_prefix, img, num_prefix_tokens=0)
+    assert np.abs(wrong - ref).max() / np.abs(ref).max() > 0.01
+
+
+def test_radio_hub_layout_conversion_matches_torch():
+    """RADIO patch_generator stem: linear embedder, conditioner stats read
+    from the checkpoint, cls + register tokens attending."""
+    torch.manual_seed(1)
+    model = TorchRadioLike().eval()
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (1, GRID * PATCH, GRID * PATCH, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+    ref = ref.reshape(1, GRID, GRID, WIDTH)
+
+    out = convert_radio_vit_weights(
+        model.hub_state_dict(), depth=DEPTH, num_heads=HEADS
+    )
+    np.testing.assert_allclose(out["norm_mean"], [0.45] * 3)
+    np.testing.assert_allclose(out["norm_std"], [0.25] * 3)
+    n_prefix = out["params"]["prefix_tokens"].shape[1]
+    assert n_prefix == 1 + TorchRadioLike.NUM_REGISTERS
+
+    ours = _flax_forward(
+        out["params"], img, num_prefix_tokens=n_prefix,
+        mean_std=(tuple(out["norm_mean"]), tuple(out["norm_std"])),
+    )
+    _assert_close(ours, ref, "radio-hub")
+
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "test_data", "backbones")
+
+
+@pytest.mark.parametrize(
+    "feature_type",
+    [
+        FeatureExtractorType.RADIO_V25_B,
+        FeatureExtractorType.DINO_V2_VITS14,
+        FeatureExtractorType.CLIP_RESNET50_FPN,
+    ],
+)
+def test_golden_activation_fixture(feature_type):
+    """Pin the flax forward against activations of the REAL hub checkpoint.
+
+    Produce fixtures offline (a machine with torch-hub access):
+        python -m nvblox_mindmap_tpu.scripts.convert_backbone_weights \\
+            --feature_type radio_v25_b --output <dir> --write_golden
+    then copy <type>_golden.npz + <type>.npz into tests/test_data/backbones/.
+    """
+    golden = os.path.join(GOLDEN_DIR, f"{feature_type.value}_golden.npz")
+    weights = os.path.join(GOLDEN_DIR, f"{feature_type.value}.npz")
+    if not (os.path.exists(golden) and os.path.exists(weights)):
+        pytest.skip(f"no golden fixture for {feature_type.value} "
+                    f"(expected {golden})")
+    data = np.load(golden)
+    from nvblox_mindmap_tpu.models.pretrained import (
+        _mean_std_from,
+        _num_prefix_tokens_from,
+        load_backbone_npz,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import (
+        make_feature_extractor,
+    )
+    from nvblox_mindmap_tpu.models.weight_conversion import (
+        interpolate_pos_embed,
+    )
+
+    grid = tuple(int(s) for s in data["expected"].shape[1:3])
+    loaded = load_backbone_npz(weights)
+    params = loaded["params"]
+    if "pos_embed" in params:  # resample to the fixture's patch grid
+        params = interpolate_pos_embed(params, grid[0])
+    module = make_feature_extractor(
+        feature_type, feature_image_size=grid,
+        mean_std=_mean_std_from(loaded),
+        num_prefix_tokens=_num_prefix_tokens_from(params),
+    )
+    ours = np.asarray(module.apply({"params": params}, jnp.asarray(data["rgb"])))
+    ref = np.asarray(data["expected"])
+    err = np.abs(ours - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < 0.08, err

@@ -224,7 +224,7 @@ def test_clip_resnet_conversion_matches_torch_forward():
         ref_feats = ref(torch.from_numpy(np.moveaxis(x, -1, 1)))
 
     model = ModifiedResNetFeatures(layers=layers, width=width)
-    ours = model.apply(variables, jnp.asarray(x), train=False)
+    ours = model.apply(variables, jnp.asarray(x))
     assert len(ours) == len(ref_feats) == 5
     for i, (a, b) in enumerate(zip(ours, ref_feats)):
         np.testing.assert_allclose(
