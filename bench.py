@@ -171,6 +171,68 @@ def _bench_fusion_hz() -> float:
     return n / (time.perf_counter() - t0)
 
 
+def _bench_fusion_hz_with_backbone() -> float:
+    """Fusion rate with the REAL extractor inside the loop.
+
+    Apples-to-apples with the reference's fused-frame timer, which includes
+    feature_extractor.compute() (nvblox_mapping_helpers.py:123): one jitted
+    program per frame runs RADIO-sized ViT-B/16 forward (512x512 input, 1024
+    patch tokens + CLS) -> bilinear upscale to 512x512x768 -> decay + TSDF +
+    feature integration. Weight values don't affect timing; random init.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping import voxel_grid as vg
+    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+    from nvblox_mindmap_tpu.models.feature_extractors import (
+        FeatureExtractorType,
+        make_feature_extractor,
+    )
+
+    cfg = MappingConfig.for_task(
+        Tasks.DRILL_IN_BOX, feature_dim=768, max_feature_pages=1024
+    )
+    state = vg.create_state(cfg)
+    rng = np.random.default_rng(0)
+    H = W = 256
+    depth = jnp.asarray(rng.uniform(0.5, 2.0, (H, W)), dtype=jnp.float32)
+    rgb = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), dtype=jnp.float32)
+    T = jnp.eye(4)
+    K = jnp.asarray([[200.0, 0, 128], [0, 200.0, 128], [0, 0, 1]])
+    fK = jnp.asarray([[400.0, 0, 256], [0, 400.0, 256], [0, 0, 1]])
+
+    module = make_feature_extractor(
+        FeatureExtractorType.RADIO_V25_B, feature_image_size=(32, 32)
+    )
+    params = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3))
+    )["params"]
+
+    @jax.jit
+    def extract(params, rgb):
+        feats = module.apply({"params": params}, rgb[None])
+        return jax.image.resize(
+            feats, (1, 512, 512, 768), method="bilinear"
+        )[0].astype(jnp.float16)
+
+    def fuse_with_backbone(state, params, rgb):
+        # NOTE: fuse_frame must stay OUTSIDE any extra jit wrapper - nesting
+        # would inline it and drop its donate_argnums, copying the ~800 MB
+        # feature pool every frame instead of updating it in place.
+        return vg.fuse_frame(state, cfg, depth, extract(params, rgb), T, K, fK)
+
+    state = fuse_with_backbone(state, params, rgb)  # warmup/compile
+    jax.block_until_ready(state.tsdf)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state = fuse_with_backbone(state, params, rgb)
+    jax.block_until_ready(state.tsdf)
+    return n / (time.perf_counter() - t0)
+
+
 def _run_in_subprocess(what: str, retries: int = 2) -> list:
     """Run one measurement in a clean process (device state isolation).
 
@@ -206,6 +268,8 @@ if __name__ == "__main__":
         if what == "keypose":
             ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms = main()
             print(ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms)
+        elif what == "fusion_backbone":
+            print(_bench_fusion_hz_with_backbone())
         else:
             print(_bench_fusion_hz())
     else:
@@ -213,6 +277,7 @@ if __name__ == "__main__":
             "keypose"
         )
         (fusion_hz,) = _run_in_subprocess("fusion")
+        (fusion_backbone_hz,) = _run_in_subprocess("fusion_backbone")
         print(
             json.dumps(
                 {
@@ -225,6 +290,10 @@ if __name__ == "__main__":
                     "pipelined_ddim10_ms": round(pipelined_ddim_ms, 3),
                     "fusion_hz": round(fusion_hz, 1),
                     "fusion_hz_vs_target": round(fusion_hz / 30.0, 2),
+                    "fusion_hz_with_backbone": round(fusion_backbone_hz, 1),
+                    "fusion_hz_with_backbone_vs_target": round(
+                        fusion_backbone_hz / 30.0, 2
+                    ),
                 }
             )
         )

@@ -22,7 +22,6 @@ from nvblox_mindmap_tpu.closed_loop.environment import (
     KinematicEnvironment,
     ReplayEnvironment,
 )
-from nvblox_mindmap_tpu.closed_loop.evaluators import BasicEvaluator
 from nvblox_mindmap_tpu.closed_loop.policies import (
     GroundTruthPolicy,
     NvbloxDiffuserActorPolicy,
@@ -67,6 +66,20 @@ def main(argv=None, environment: str = "kinematic"):
 
     demo_paths = get_demo_paths(args.dataset, args.demos_closed_loop)
     use_gt_policy = args.demo_mode in ("execute_gt_goals", "gt")
+
+    # Live mapping runs the feature extractor every sim step; a non-RGB
+    # extractor needs converted pretrained weights.
+    feature_fn = None
+    if not use_gt_policy and args.data_type in ("mesh", "rgbd_and_mesh"):
+        from nvblox_mindmap_tpu.models.pretrained import make_feature_fn
+
+        # make_feature_fn fails fast when a non-RGB extractor has no weights.
+        feature_fn = make_feature_fn(
+            args.feature_type,
+            output_size=mapping_config.upscaled_feature_image_size,
+            backbone_weights=args.backbone_weights,
+            feature_image_size=tuple(args.feature_image_size),
+        )
 
     params = None
     if not use_gt_policy:
@@ -121,9 +134,20 @@ def main(argv=None, environment: str = "kinematic"):
             num_history=args.num_history,
             seed=args.seed,
             include_dynamic=args.include_dynamic,
+            feature_fn=feature_fn,
         )
 
-    evaluator = BasicEvaluator()
+    # Task-semantics evaluator when the environment exposes object poses
+    # (e.g. a sim adapter through the remote bridge); otherwise the env's own
+    # success term (reference: closed_loop_policy.py:43-48 evaluator map).
+    from nvblox_mindmap_tpu.closed_loop.evaluators import make_evaluator_for_task
+
+    probe_env = make_env(demo_paths[0]) if demo_paths else None
+    has_object_state = bool(probe_env and probe_env.get_object_poses())
+    evaluator = make_evaluator_for_task(
+        args.task, eval_file_path=args.eval_file_path,
+        env_has_object_state=has_object_state,
+    )
     config = ClosedLoopConfig(
         max_num_steps_to_goal=args.max_num_steps_to_goal,
         num_retries=args.num_retries,

@@ -200,6 +200,8 @@ class KinematicEnvironment(EnvironmentBase):
         max_step_m: float = 0.05,
         waypoint_tolerance_m: float = 0.02,
         image_size: int = 32,
+        objects: Optional[Dict[str, np.ndarray]] = None,
+        grasp_radius_m: float = 0.05,
     ):
         self.embodiment = embodiment
         self.initial_state = np.array(initial_state, dtype=np.float32)
@@ -207,12 +209,30 @@ class KinematicEnvironment(EnvironmentBase):
         self.max_step_m = max_step_m
         self.tol = waypoint_tolerance_m
         self.image_size = image_size
+        self.grasp_radius_m = grasp_radius_m
+        # Named objects with simple grasp kinematics: a closed gripper within
+        # grasp_radius attaches the nearest object to the eef; opening
+        # releases it in place. Enough state for the task evaluators
+        # (cube stacking / mug in drawer) to judge real semantics.
+        self.initial_objects = {
+            name: self._to_pose7(p) for name, p in (objects or {}).items()
+        }
         self.reset()
+
+    @staticmethod
+    def _to_pose7(p) -> np.ndarray:
+        p = np.asarray(p, dtype=np.float32)
+        if p.shape == (3,):
+            return np.concatenate([p, [1, 0, 0, 0]]).astype(np.float32)
+        assert p.shape == (7,), f"object pose must be (3,) or (7,), got {p.shape}"
+        return p.copy()
 
     def reset(self) -> None:
         self.state = np.array(self.initial_state, copy=True)
         self.visited = [False] * len(self.waypoints)
         self.steps = 0
+        self.objects = {k: v.copy() for k, v in self.initial_objects.items()}
+        self._held: Optional[str] = None
 
     def _move_pose(self, pose_slice, goal_pose):
         pos = self.state[pose_slice][:3]
@@ -245,6 +265,25 @@ class KinematicEnvironment(EnvironmentBase):
         for i, w in enumerate(self.waypoints):
             if not self.visited[i] and np.linalg.norm(self.state[:3] - w) < self.tol:
                 self.visited[i] = True
+        self._update_grasp()
+
+    def _update_grasp(self) -> None:
+        eef = self.state[:3]
+        closed = float(self.state[7]) >= 0.5
+        if closed and self._held is None and self.objects:
+            name, dist = min(
+                ((n, np.linalg.norm(p[:3] - eef)) for n, p in self.objects.items()),
+                key=lambda kv: kv[1],
+            )
+            if dist < self.grasp_radius_m:
+                self._held = name
+        elif not closed:
+            self._held = None
+        if self._held is not None:
+            self.objects[self._held][:3] = eef
+
+    def get_object_poses(self) -> Dict[str, np.ndarray]:
+        return {k: v.copy() for k, v in self.objects.items()}
 
     def get_robot_state(self) -> np.ndarray:
         return np.array(self.state, copy=True)
@@ -269,4 +308,6 @@ class KinematicEnvironment(EnvironmentBase):
         return {prefix: CameraFrame(rgb, depth, intr, pose)}
 
     def is_success(self) -> bool:
-        return all(self.visited)
+        # No waypoints configured -> this env has no intrinsic success term
+        # (task evaluators judge success from object state instead).
+        return bool(self.waypoints) and all(self.visited)

@@ -1,8 +1,12 @@
 """Closed-loop evaluators: per-demo success tracking and summaries.
 
 (reference: mindmap/closed_loop/evaluators/*) The evaluator observes every
-sim step, finalizes a per-demo outcome, and summarizes a success rate +
-JSON evaluation file.
+sim step, finalizes a per-demo outcome, and summarizes a success rate + JSON
+evaluation file. CubeStacking and MugInDrawer judge success by TASK semantics
+from object poses exposed through ``EnvironmentBase.get_object_poses`` -
+success means cubes actually stacked / the mug actually released in the right
+drawer, not waypoint proximity (reference: cube_stacking_evaluator.py:1-340,
+mug_in_drawer_evaluator.py:1-285).
 """
 from __future__ import annotations
 
@@ -16,21 +20,34 @@ from nvblox_mindmap_tpu.closed_loop.environment import EnvironmentBase
 
 
 class EvaluatorBase:
-    def __init__(self):
+    def __init__(self, eval_file_path: Optional[str] = None):
         self.demo_outcomes: Dict[str, bool] = {}
+        self.eval_dict: Dict[str, Dict] = {}
+        self.eval_file_path = eval_file_path
         self._current_success = False
+        self._demo_name = ""
+        self._retry_idx = 0
 
-    def start_demo(self, demo_name: str):
+    def start_demo(self, demo_name: str, env: Optional[EnvironmentBase] = None,
+                   retry_idx: int = 0):
         self._current_success = False
+        self._demo_name = demo_name
+        self._retry_idx = retry_idx
 
     def evaluate_step(self, env: EnvironmentBase):
         if env.is_success():
             self._current_success = True
 
-    def finalize_demo(self, demo_name: str) -> bool:
+    def finalize_demo(self, demo_name: str,
+                      env: Optional[EnvironmentBase] = None) -> bool:
         # Keep the best outcome over retries.
         prev = self.demo_outcomes.get(demo_name, False)
         self.demo_outcomes[demo_name] = prev or self._current_success
+        self.eval_dict[f"{demo_name}_{self._retry_idx}"] = {
+            "demo": demo_name,
+            "success": bool(self._current_success),
+        }
+        self.maybe_write_eval_file()
         return self._current_success
 
     def success_rate(self) -> float:
@@ -39,17 +56,29 @@ class EvaluatorBase:
         return float(np.mean([v for v in self.demo_outcomes.values()]))
 
     def summarize_demos(self) -> Dict:
-        return {
+        summary = {
             "num_demos": len(self.demo_outcomes),
             "num_successes": int(sum(self.demo_outcomes.values())),
             "success_rate": self.success_rate(),
             "outcomes": {k: bool(v) for k, v in self.demo_outcomes.items()},
         }
+        self.eval_dict["summary"] = summary
+        self.maybe_write_eval_file()
+        return summary
+
+    def maybe_write_eval_file(self):
+        if self.eval_file_path:
+            self.write_eval_file(self.eval_file_path)
 
     def write_eval_file(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = dict(self.eval_dict)
+        payload.setdefault("summary", {
+            "num_demos": len(self.demo_outcomes),
+            "success_rate": self.success_rate(),
+        })
         with open(path, "w") as f:
-            json.dump(self.summarize_demos(), f, indent=2)
+            json.dump(payload, f, indent=2, default=float)
 
 
 class BasicEvaluator(EvaluatorBase):
@@ -57,20 +86,18 @@ class BasicEvaluator(EvaluatorBase):
 
 
 class WaypointEvaluator(EvaluatorBase):
-    """Success when the end-effector has visited all required waypoints.
+    """Success when the end-effector has visited all required waypoints
+    (machinery-test proxy; the task evaluators below judge real semantics)."""
 
-    Stands in for the task-specific evaluators (CubeStacking / MugInDrawer)
-    against environments that expose object state via waypoints.
-    """
-
-    def __init__(self, waypoints: List[np.ndarray], tolerance_m: float = 0.03):
-        super().__init__()
+    def __init__(self, waypoints: List[np.ndarray], tolerance_m: float = 0.03,
+                 eval_file_path: Optional[str] = None):
+        super().__init__(eval_file_path)
         self.waypoints = [np.asarray(w) for w in waypoints]
         self.tolerance_m = tolerance_m
         self._visited: List[bool] = []
 
-    def start_demo(self, demo_name: str):
-        super().start_demo(demo_name)
+    def start_demo(self, demo_name: str, env=None, retry_idx: int = 0):
+        super().start_demo(demo_name, env, retry_idx)
         self._visited = [False] * len(self.waypoints)
 
     def evaluate_step(self, env: EnvironmentBase):
@@ -82,9 +109,249 @@ class WaypointEvaluator(EvaluatorBase):
             self._current_success = True
 
 
-class CubeStackingEvaluator(WaypointEvaluator):
-    """Cube-stacking proxy: visit each cube's grasp point in order."""
+class ArmEvaluatorBase(EvaluatorBase):
+    """Shared gripper-openness check for the arm task evaluators
+    (reference: evaluators/arm_evaluator.py:25-37)."""
+
+    def _gripper_is_open(self, env: EnvironmentBase) -> bool:
+        from nvblox_mindmap_tpu.embodiments.arm import is_gripper_open
+
+        robot_state = np.asarray(env.get_robot_state())
+        if robot_state.shape[-1] >= 9:  # pos3 + quat4 + jaws2
+            return is_gripper_open(robot_state[7:9])
+        # Policy-state fallback: closedness in [0, 1] at index 7.
+        return float(robot_state[7]) < 0.5
 
 
-class MugInDrawerEvaluator(WaypointEvaluator):
-    """Mug-in-drawer proxy: visit mug then drawer."""
+class CubeStackingEvaluator(ArmEvaluatorBase):
+    """Stack-count tracking (reference: cube_stacking_evaluator.py).
+
+    Objects ``cube_1..cube_N`` come from ``env.get_object_poses()``. Success =
+    all cubes on one stack while the gripper is open (the robot released the
+    top cube).
+    """
+
+    def __init__(self, num_cubes: int = 3, cube_side_length: float = 0.045,
+                 eval_file_path: Optional[str] = None):
+        super().__init__(eval_file_path)
+        self.num_cubes = num_cubes
+        self.cube_side_length = cube_side_length
+        self.min_distance_xy_moved_thresh = cube_side_length / 2.0
+        self.min_distance_z_lifted_thresh = cube_side_length / 2.0
+        # 20% conservative margin (reference :66-69).
+        self.min_distance_z_stacked_thresh = cube_side_length * 0.8
+
+    def _cube_positions(self, env: EnvironmentBase) -> np.ndarray:
+        poses = env.get_object_poses()
+        missing = [f"cube_{i + 1}" for i in range(self.num_cubes)
+                   if f"cube_{i + 1}" not in poses]
+        if missing:
+            raise KeyError(
+                f"CubeStackingEvaluator needs object poses {missing} from the "
+                "environment (EnvironmentBase.get_object_poses)"
+            )
+        return np.stack(
+            [np.asarray(poses[f"cube_{i + 1}"])[:3] for i in range(self.num_cubes)]
+        )
+
+    def start_demo(self, demo_name: str, env: Optional[EnvironmentBase] = None,
+                   retry_idx: int = 0):
+        super().start_demo(demo_name, env, retry_idx)
+        assert env is not None, "task evaluators need the environment at start"
+        self.initial_cube_positions = self._cube_positions(env)
+        self.cubes_have_been_lifted = np.zeros(self.num_cubes, dtype=bool)
+        self.cubes_have_been_moved = np.zeros(self.num_cubes, dtype=bool)
+        self.max_num_stacked_cubes = 0
+        self.max_num_stacked_cubes_with_open_gripper = 0
+        self.current_num_stacked_cubes = 0
+
+    def _num_stacked_cubes(self, cube_positions: np.ndarray) -> int:
+        """Cubes on the highest stack, judged by pairwise z separation
+        (reference :273-304)."""
+        best = 0
+        z = cube_positions[:, 2]
+        for i in range(self.num_cubes):
+            on_stack = 1
+            for j in range(i + 1, self.num_cubes):
+                if abs(z[i] - z[j]) > self.min_distance_z_stacked_thresh:
+                    on_stack += 1
+            best = max(best, on_stack)
+        return best
+
+    def evaluate_step(self, env: EnvironmentBase):
+        cube_positions = self._cube_positions(env)
+        delta_z = cube_positions[:, 2] - self.initial_cube_positions[:, 2]
+        self.cubes_have_been_lifted |= delta_z > self.min_distance_z_lifted_thresh
+        delta_xy = np.linalg.norm(
+            cube_positions[:, :2] - self.initial_cube_positions[:, :2], axis=-1
+        )
+        self.cubes_have_been_moved |= delta_xy > self.min_distance_xy_moved_thresh
+
+        n_stacked = self._num_stacked_cubes(cube_positions)
+        self.max_num_stacked_cubes = max(self.max_num_stacked_cubes, n_stacked)
+        if (self._gripper_is_open(env)
+                and n_stacked > self.max_num_stacked_cubes_with_open_gripper):
+            self.max_num_stacked_cubes_with_open_gripper = n_stacked
+        self.current_num_stacked_cubes = n_stacked
+        self._current_success = (
+            self.max_num_stacked_cubes_with_open_gripper == self.num_cubes
+        )
+
+    def finalize_demo(self, demo_name: str,
+                      env: Optional[EnvironmentBase] = None) -> bool:
+        if env is not None:
+            self.evaluate_step(env)
+        success = self.max_num_stacked_cubes_with_open_gripper == self.num_cubes
+        self._current_success = success
+        prev = self.demo_outcomes.get(demo_name, False)
+        self.demo_outcomes[demo_name] = prev or success
+        self.eval_dict[f"{demo_name}_{self._retry_idx}"] = {
+            "demo": demo_name,
+            "success": bool(success),
+            "num_stacked_cubes": int(self.current_num_stacked_cubes),
+            "cubes_have_been_lifted": int(self.cubes_have_been_lifted.sum()),
+            "cubes_have_been_moved": int(self.cubes_have_been_moved.sum()),
+            "max_num_stacked_cubes": int(self.max_num_stacked_cubes),
+            "max_num_stacked_cubes_with_open_gripper": int(
+                self.max_num_stacked_cubes_with_open_gripper
+            ),
+        }
+        self.maybe_write_eval_file()
+        return success
+
+    def summarize_demos(self) -> Dict:
+        demos = [v for k, v in self.eval_dict.items()
+                 if k not in ("summary", "metadata")]
+        n = max(len(demos), 1)
+        summary = {
+            "num_demos": len(demos),
+            "success_rate": self.success_rate(),
+            "mean_num_lifted_cubes":
+                sum(d["cubes_have_been_lifted"] for d in demos) / n,
+            "mean_num_moved_cubes":
+                sum(d["cubes_have_been_moved"] for d in demos) / n,
+            "mean_num_stacked_cubes":
+                sum(d["max_num_stacked_cubes"] for d in demos) / n,
+            "mean_num_stacked_cubes_with_open_gripper":
+                sum(d["max_num_stacked_cubes_with_open_gripper"]
+                    for d in demos) / n,
+            "full_stack_at_demo_end_rate":
+                sum(d["num_stacked_cubes"] == self.num_cubes
+                    for d in demos) / n,
+            "outcomes": {k: bool(v) for k, v in self.demo_outcomes.items()},
+        }
+        self.eval_dict["summary"] = summary
+        self.maybe_write_eval_file()
+        return summary
+
+
+class MugInDrawerEvaluator(ArmEvaluatorBase):
+    """Mug lifted / moved / released-in-the-right-drawer tracking
+    (reference: mug_in_drawer_evaluator.py). Objects: ``target_mug``,
+    ``bottom_of_drawer_with_mugs``, ``bottom_of_drawer_with_boxes``."""
+
+    MUG = "target_mug"
+    DRAWER = "bottom_of_drawer_with_mugs"
+    WRONG_DRAWER = "bottom_of_drawer_with_boxes"
+
+    def __init__(self, eval_file_path: Optional[str] = None):
+        super().__init__(eval_file_path)
+        self.drawer_size = np.array([0.4, 0.65, 0.1])
+        self.mug_radius = 0.05
+        self.mug_height = 0.1
+        self.min_distance_xy_moved_thresh = self.mug_radius
+        self.min_distance_z_lifted_thresh = self.mug_height / 2.0
+
+    def _position(self, env: EnvironmentBase, name: str) -> np.ndarray:
+        poses = env.get_object_poses()
+        if name not in poses:
+            raise KeyError(
+                f"MugInDrawerEvaluator needs object pose {name!r} from the "
+                "environment (EnvironmentBase.get_object_poses)"
+            )
+        return np.asarray(poses[name])[:3]
+
+    def start_demo(self, demo_name: str, env: Optional[EnvironmentBase] = None,
+                   retry_idx: int = 0):
+        super().start_demo(demo_name, env, retry_idx)
+        assert env is not None, "task evaluators need the environment at start"
+        self.initial_mug_position = self._position(env, self.MUG)
+        self.drawer_position = self._position(env, self.DRAWER)
+        self.wrong_drawer_position = self._position(env, self.WRONG_DRAWER)
+        self.mug_has_been_lifted = False
+        self.mug_has_been_moved = False
+        self.mug_has_been_in_drawer = False
+        self.mug_has_been_in_wrong_drawer = False
+        self.mug_has_been_released_in_drawer = False
+
+    def _mug_is_in_drawer(self, mug_position: np.ndarray,
+                          drawer_position: np.ndarray) -> bool:
+        """Drawer z is its bottom; 1 cm tolerance below (reference :262-286)."""
+        half = self.drawer_size / 2.0
+        in_x = (drawer_position[0] - half[0] < mug_position[0]
+                < drawer_position[0] + half[0])
+        in_y = (drawer_position[1] - half[1] < mug_position[1]
+                < drawer_position[1] + half[1])
+        in_z = (drawer_position[2] - 1e-2 < mug_position[2]
+                < drawer_position[2] + self.drawer_size[2])
+        return bool(in_x and in_y and in_z)
+
+    def evaluate_step(self, env: EnvironmentBase):
+        mug = self._position(env, self.MUG)
+        self.mug_has_been_lifted |= bool(
+            mug[2] - self.initial_mug_position[2]
+            > self.min_distance_z_lifted_thresh
+        )
+        self.mug_has_been_moved |= bool(
+            np.linalg.norm(mug[:2] - self.initial_mug_position[:2])
+            > self.min_distance_xy_moved_thresh
+        )
+        in_drawer = self._mug_is_in_drawer(mug, self.drawer_position)
+        self.mug_has_been_in_drawer |= in_drawer
+        self.mug_has_been_in_wrong_drawer |= self._mug_is_in_drawer(
+            mug, self.wrong_drawer_position
+        )
+        if self._gripper_is_open(env) and in_drawer:
+            self.mug_has_been_released_in_drawer = True
+        self._current_success = self.mug_has_been_released_in_drawer
+
+    def finalize_demo(self, demo_name: str,
+                      env: Optional[EnvironmentBase] = None) -> bool:
+        if env is not None:
+            self.evaluate_step(env)
+        success = self.mug_has_been_released_in_drawer
+        self._current_success = success
+        prev = self.demo_outcomes.get(demo_name, False)
+        self.demo_outcomes[demo_name] = prev or success
+        self.eval_dict[f"{demo_name}_{self._retry_idx}"] = {
+            "demo": demo_name,
+            "success": bool(success),
+            "mug_has_been_lifted": bool(self.mug_has_been_lifted),
+            "mug_has_been_moved": bool(self.mug_has_been_moved),
+            "mug_has_been_in_drawer": bool(self.mug_has_been_in_drawer),
+            "mug_has_been_in_wrong_drawer": bool(
+                self.mug_has_been_in_wrong_drawer
+            ),
+        }
+        self.maybe_write_eval_file()
+        return success
+
+
+def make_evaluator_for_task(task, eval_file_path: Optional[str] = None,
+                            env_has_object_state: bool = True
+                            ) -> EvaluatorBase:
+    """Task -> evaluator map (reference: closed_loop_policy.py:43-48).
+
+    Falls back to BasicEvaluator when the environment exposes no object
+    poses (e.g. demo replay, where success is the env's own term).
+    """
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+
+    if not env_has_object_state:
+        return BasicEvaluator(eval_file_path)
+    task = Tasks(task)
+    if task == Tasks.CUBE_STACKING:
+        return CubeStackingEvaluator(eval_file_path=eval_file_path)
+    if task == Tasks.MUG_IN_DRAWER:
+        return MugInDrawerEvaluator(eval_file_path=eval_file_path)
+    return BasicEvaluator(eval_file_path)

@@ -1,0 +1,363 @@
+"""Isaac Lab sim-host adapter: EnvironmentBase over a live gym env.
+
+Runs ON THE SIM HOST (CUDA/x86 machine with Isaac Lab installed) and serves
+the simulation to a TPU-side policy through the remote bridge:
+
+    from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import (
+        make_isaaclab_environment)
+    from nvblox_mindmap_tpu.closed_loop.remote_env import serve_environment
+    env = make_isaaclab_environment(task=Tasks.CUBE_STACKING,
+                                    hdf5_file=..., demo_name="demo_0")
+    serve_environment(env, port=5555)  # TPU side: RemoteEnvironment(host, port)
+
+The adapter mirrors the reference's episode/step semantics
+(reference: mindmap/closed_loop/closed_loop_policy.py:79-241):
+
+- ``reset`` re-initializes the sim to the demo's recorded initial state
+  (``env.unwrapped.reset_to(initial_state, is_relative=True)``, :109-111).
+- ``step(goal)`` converts the goal policy state to the embodiment action
+  (arm: pose + +/-1 gripper command, reference arm/controller.py:22-36;
+  humanoid: pose pair + retargeted hand joints + head yaw,
+  humanoid/controller.py:50-88) and steps the sim; ``step(None)`` holds the
+  current pose (the reference's warmup behavior, :123-134).
+- ``get_cameras`` returns rgb/depth/intrinsics/pose7 plus a flattened
+  semantic-label image so the TPU side can build the dynamic mask
+  (isaaclab_camera_handler.py:161-209).
+- ``get_object_poses`` exposes rigid-object root poses for the task
+  evaluators (cube_stacking_evaluator.py:306-324).
+- ``is_success`` reads the sim success term (tasks/task_success.py).
+
+The class is dependency-injected (gym env + camera handlers passed in), so
+its protocol is testable with mocks anywhere; only the
+``make_isaaclab_environment`` factory needs Isaac Lab.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nvblox_mindmap_tpu.closed_loop.environment import (
+    CameraFrame,
+    EnvironmentBase,
+)
+from nvblox_mindmap_tpu.embodiments.base import EmbodimentBase, EmbodimentType
+
+ARM_CLOSEDNESS_THRESHOLD = 0.5
+
+
+def arm_action_from_policy_state(policy_state: np.ndarray) -> np.ndarray:
+    """(8,) policy state -> (8,) sim action: pose + gripper command in
+    {-1 close, +1 open} (reference arm/controller.py:22-36, action.py)."""
+    state = np.asarray(policy_state, np.float32)
+    assert state.shape == (8,)
+    closedness = float(state[7])
+    assert 0.0 <= closedness <= 1.0
+    command = -1.0 if closedness > ARM_CLOSEDNESS_THRESHOLD else 1.0
+    return np.concatenate([state[:7], [command]]).astype(np.float32)
+
+
+def humanoid_action_from_policy_state(policy_state: np.ndarray) -> np.ndarray:
+    """(17,) policy state -> (37,) sim action via hand retargeting."""
+    from nvblox_mindmap_tpu.embodiments.humanoid_hand import HumanoidController
+
+    return HumanoidController()(policy_state).to_tensor(include_head_yaw=True)
+
+
+def _to_numpy(x) -> np.ndarray:
+    """torch tensor / numpy -> host numpy (adapter runs on a torch sim)."""
+    if hasattr(x, "detach"):
+        x = x.detach()
+    if hasattr(x, "cpu"):
+        x = x.cpu()
+    if hasattr(x, "numpy"):
+        x = x.numpy()
+    return np.asarray(x)
+
+
+class IsaacLabEnvironment(EnvironmentBase):
+    """EnvironmentBase over an Isaac Lab manager-based env.
+
+    Args:
+        env: the gym env (Isaac Lab; any object with the used surface works).
+        embodiment: the TPU-side embodiment (codecs only).
+        camera_handlers: name -> camera-handler objects exposing the
+            reference IsaacLabCameraHandler getters (get_rgb/get_depth/
+            get_intrinsics/get_pose/get_semantic_segmentation).
+        robot_state_fn: env -> robot-state vector (the sim-specific read;
+            reference: embodiment.get_robot_state(env)).
+        initial_state: recorded HDF5 initial state for reset_to (optional).
+        success_fn: env -> bool success term (optional; defaults to the
+            env's termination manager 'success' term when present).
+        object_names: rigid objects to expose to the task evaluators.
+    """
+
+    def __init__(
+        self,
+        env,
+        embodiment: EmbodimentBase,
+        camera_handlers: Dict[str, object],
+        robot_state_fn,
+        initial_state=None,
+        success_fn=None,
+        object_names: Optional[List[str]] = None,
+    ):
+        self.env = env
+        self.embodiment = embodiment
+        self.camera_handlers = camera_handlers
+        self.robot_state_fn = robot_state_fn
+        self.initial_state = initial_state
+        self.success_fn = success_fn
+        self.object_names = list(object_names or [])
+        self._label_map: Dict[int, str] = {}
+        self._rgba_to_id: Dict[tuple, int] = {}
+
+    # --- EnvironmentBase ------------------------------------------------------
+    def reset(self) -> None:
+        if self.initial_state is not None:
+            self.env.unwrapped.reset_to(self.initial_state, None,
+                                        is_relative=True)
+        else:
+            self.env.reset()
+
+    def step(self, goal_policy_state: Optional[np.ndarray]) -> None:
+        if goal_policy_state is None:
+            # Warmup/hold: command the current pose (reference :123-134).
+            goal_policy_state = self.get_policy_state()
+        goal = np.asarray(goal_policy_state, np.float32)
+        if self.embodiment.embodiment_type == EmbodimentType.ARM:
+            action = arm_action_from_policy_state(goal)
+        else:
+            action = humanoid_action_from_policy_state(goal)
+        self.env.step(self._batch_action(action))
+
+    def _batch_action(self, action: np.ndarray):
+        """Hook for torch conversion; reference wraps with unsqueeze(0)."""
+        try:
+            import torch
+
+            return torch.from_numpy(np.asarray(action)).unsqueeze(0)
+        except ImportError:
+            return action[None]
+
+    def get_robot_state(self) -> np.ndarray:
+        return _to_numpy(self.robot_state_fn(self.env)).astype(np.float32)
+
+    def get_policy_state(self) -> np.ndarray:
+        robot_state = self.get_robot_state()
+        return self.embodiment.policy_states_from_robot_states(
+            robot_state[None], use_keyposes=False
+        )[0]
+
+    def get_cameras(self) -> Dict[str, CameraFrame]:
+        frames = {}
+        for name, cam in self.camera_handlers.items():
+            rgb = _to_numpy(cam.get_rgb()).astype(np.float32)
+            if rgb.max(initial=0.0) > 1.5:  # uint8-scaled
+                rgb = rgb / 255.0
+            depth = _to_numpy(cam.get_depth()).astype(np.float32)
+            intr = _to_numpy(cam.get_intrinsics()).astype(np.float32)
+            translation, rotation_quat = cam.get_pose()
+            pose7 = np.concatenate(
+                [_to_numpy(translation).reshape(3),
+                 _to_numpy(rotation_quat).reshape(4)]
+            ).astype(np.float32)
+            seg = self._flatten_segmentation(cam)
+            frames[name] = CameraFrame(rgb, depth, intr, pose7, seg)
+        return frames
+
+    def _flatten_segmentation(self, cam) -> Optional[np.ndarray]:
+        """RGBA-id segmentation -> integer label image + id->class map.
+
+        Isaac Lab encodes instance ids as RGBA colors with a per-frame
+        rgba -> {'class': name} map (reference camera handler :161-175); the
+        recorded boundary and the remote protocol use integer labels, so
+        RGBA tuples are interned into stable small ints here.
+        """
+        if not hasattr(cam, "get_semantic_segmentation"):
+            return None
+        try:
+            seg_rgba, rgba_to_labels = cam.get_semantic_segmentation()
+        except Exception:
+            return None
+        seg_rgba = _to_numpy(seg_rgba)
+        out = np.zeros(seg_rgba.shape[:2], dtype=np.uint16)
+        import ast
+
+        for rgba_key, label in rgba_to_labels.items():
+            rgba = tuple(
+                ast.literal_eval(rgba_key) if isinstance(rgba_key, str)
+                else rgba_key
+            )
+            class_name = (label.get("class", "") if isinstance(label, dict)
+                          else str(label))
+            if rgba not in self._rgba_to_id:
+                new_id = len(self._rgba_to_id) + 1
+                self._rgba_to_id[rgba] = new_id
+                self._label_map[new_id] = class_name
+            match = np.all(
+                seg_rgba == np.asarray(rgba, seg_rgba.dtype).reshape(1, 1, -1),
+                axis=-1,
+            )
+            out[match] = self._rgba_to_id[rgba]
+        return out
+
+    @property
+    def semantic_id_to_class(self) -> Dict[int, str]:
+        return dict(self._label_map)
+
+    def get_object_poses(self) -> Dict[str, np.ndarray]:
+        scene_state = self.env.unwrapped.scene.get_state(is_relative=True)
+        rigid = scene_state.get("rigid_object", {})
+        poses = {}
+        for name in (self.object_names or rigid.keys()):
+            if name in rigid:
+                poses[name] = _to_numpy(rigid[name]["root_pose"][0, :7])
+        return poses
+
+    def is_success(self) -> bool:
+        if self.success_fn is not None:
+            return bool(self.success_fn(self.env))
+        try:
+            term = self.env.unwrapped.termination_manager.get_term("success")
+            return bool(_to_numpy(term).reshape(-1)[0])
+        except Exception:
+            return False
+
+
+def make_isaaclab_environment(
+    task,
+    hdf5_file: str,
+    demo_name: str,
+    headless: bool = True,
+    add_external_cam: bool = False,
+):
+    """Build the full sim-host environment (requires Isaac Lab).
+
+    Mirrors the reference app startup (run_closed_loop_policy.py:53-114):
+    SimulationAppContext -> gym env with injected camera configs -> camera
+    handlers -> HDF5 initial state. Import-guarded: raises a clear error off
+    the sim host.
+    """
+    try:
+        from isaaclab.app import AppLauncher  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "make_isaaclab_environment needs Isaac Lab (sim host only). "
+            "On the TPU side, connect with RemoteEnvironment instead."
+        ) from e
+
+    # Deferred: these imports exist only on the sim host.
+    import gymnasium as gym
+    from isaaclab.app import AppLauncher
+
+    app = AppLauncher({"headless": headless}).app  # noqa: F841
+
+    from nvblox_mindmap_tpu.embodiments.registry import (
+        TASK_TO_GYM_ID,
+        Tasks,
+        make_embodiment_for_task,
+    )
+
+    task = Tasks(task)
+    env = gym.make(TASK_TO_GYM_ID[task])
+    embodiment = make_embodiment_for_task(task)
+
+    # Camera handlers, reference-style (isaaclab_camera_handler.py).
+    camera_names = (
+        ["wrist", "table"] if embodiment.embodiment_type == EmbodimentType.ARM
+        else ["pov"] + (["external"] if add_external_cam else [])
+    )
+    camera_handlers = {
+        name: _ReferenceStyleCameraHandler(env, name) for name in camera_names
+    }
+
+    import h5py
+
+    with h5py.File(hdf5_file, "r") as f:
+        initial_state = f["data"][demo_name]["initial_state"][()]
+
+    return IsaacLabEnvironment(
+        env, embodiment, camera_handlers,
+        robot_state_fn=_default_arm_robot_state_fn
+        if embodiment.embodiment_type == EmbodimentType.ARM
+        else _default_humanoid_robot_state_fn,
+        initial_state=initial_state,
+    )
+
+
+def _default_arm_robot_state_fn(env) -> np.ndarray:
+    """Franka robot state (9,): eef pose from the ee_frame sensor + the two
+    gripper jaw joint positions (reference arm/robot_state.py semantics)."""
+    scene = env.unwrapped.scene
+    ee = scene["ee_frame"]
+    pos = _to_numpy(ee.data.target_pos_w[0, 0])
+    quat = _to_numpy(ee.data.target_quat_w[0, 0])
+    joints = _to_numpy(scene["robot"].data.joint_pos[0])
+    jaws = joints[-2:]  # panda finger joints are the last two
+    return np.concatenate([pos, quat, jaws]).astype(np.float32)
+
+
+def _default_humanoid_robot_state_fn(env) -> np.ndarray:
+    """GR1T2 robot state (37,): both eef poses + 11 hand joints each + head
+    yaw, in the layout of embodiments/humanoid.py."""
+    from nvblox_mindmap_tpu.embodiments.humanoid_hand import (
+        HumanoidJointIndices,
+    )
+
+    scene = env.unwrapped.scene
+    left = scene["left_ee_frame"]
+    right = scene["right_ee_frame"]
+    joints = _to_numpy(scene["robot"].data.joint_pos[0])
+    hands = joints[-2 * HumanoidJointIndices.num_joints_per_hand:]
+    left_hand = hands[
+        HumanoidJointIndices.left_joints_in_combined_hands_tensor_indices
+    ]
+    right_hand = hands[
+        HumanoidJointIndices.right_joints_in_combined_hands_tensor_indices
+    ]
+    head_yaw = _to_numpy(scene["robot"].data.joint_pos[0, :1])  # task-defined
+    return np.concatenate(
+        [
+            _to_numpy(left.data.target_pos_w[0, 0]),
+            _to_numpy(left.data.target_quat_w[0, 0]),
+            left_hand,
+            _to_numpy(right.data.target_pos_w[0, 0]),
+            _to_numpy(right.data.target_quat_w[0, 0]),
+            right_hand,
+            head_yaw.reshape(1),
+        ]
+    ).astype(np.float32)
+
+
+class _ReferenceStyleCameraHandler:
+    """Minimal camera handler over an Isaac Lab scene camera (sim host)."""
+
+    def __init__(self, env, camera_name: str):
+        self._camera = env.unwrapped.scene[f"{camera_name}_cam"]
+        self.camera_name = camera_name
+
+    def _output(self):
+        return self._camera.data.output
+
+    def get_rgb(self):
+        return self._output()["rgb"][0]
+
+    def get_depth(self):
+        return self._output()["distance_to_image_plane"][0].squeeze(-1)
+
+    def get_intrinsics(self):
+        return self._camera.data.intrinsic_matrices[0]
+
+    def get_pose(self):
+        return (
+            self._camera.data.pos_w[0],
+            self._camera.data.quat_w_ros[0],
+        )
+
+    def get_semantic_segmentation(self):
+        seg = self._output()["semantic_segmentation"][0]
+        id_to_labels = self._camera.data.info[0]["semantic_segmentation"][
+            "idToLabels"
+        ]
+        return seg, id_to_labels

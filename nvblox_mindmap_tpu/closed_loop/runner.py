@@ -109,11 +109,11 @@ def run_closed_loop_policy(
     """Run all demos with retries; returns the evaluator summary dict."""
     for demo_name in demo_names:
         for attempt in range(config.num_retries):
-            evaluator.start_demo(demo_name)
             env = make_env(demo_name)
             policy = make_policy(demo_name)
+            evaluator.start_demo(demo_name, env, retry_idx=attempt)
             success = run_one_episode(env, policy, embodiment, evaluator, config)
-            evaluator.finalize_demo(demo_name)
+            evaluator.finalize_demo(demo_name, env)
             logger.info(
                 "Demo %s attempt %d: %s",
                 demo_name,

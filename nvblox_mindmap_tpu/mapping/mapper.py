@@ -97,9 +97,20 @@ class Mapper:
     def update_feature_mesh(self, mapper_id: int = MapperId.STATIC,
                             max_vertices: int = 65536):
         cfg = self.configs[mapper_id]
-        self._mesh_cache[mapper_id] = vg.extract_surface_vertices(
-            self.states[mapper_id], cfg, max_vertices
+        vertices, features, valid, count = vg.extract_surface_vertices(
+            self.states[mapper_id], cfg, max_vertices, return_count=True
         )
+        self._mesh_cache[mapper_id] = (vertices, features, valid)
+        self.last_crossing_count = int(count)
+        if self.last_crossing_count > max_vertices:
+            import logging
+
+            logging.getLogger("nvblox_mindmap_tpu.mapping").warning(
+                "surface extraction overflow: %d zero-crossings > "
+                "max_vertices=%d; the mesh is truncated (raise max_vertices "
+                "or the voxel size)",
+                self.last_crossing_count, max_vertices,
+            )
 
     def get_feature_mesh(self, mapper_id: int = MapperId.STATIC):
         """Returns (vertices (N, 3), features (N, F), valid (N,)). Extracts on

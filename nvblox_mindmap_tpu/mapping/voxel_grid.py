@@ -436,8 +436,13 @@ def _extract_surface_jit(
     positions = jnp.concatenate(all_pos, axis=0)
     flags = jnp.concatenate(all_flags, axis=0)
 
+    # Total crossings BEFORE truncation, so callers can detect overflow of
+    # the fixed max_vertices budget (silent truncation would under-sample the
+    # map). Validity comes from the count - fill_value=0 would otherwise
+    # alias voxel 0 when flags[0] is set.
+    count = jnp.sum(flags)
     sel = jnp.nonzero(flags, size=max_vertices, fill_value=0)[0]
-    valid = flags[sel]
+    valid = jnp.arange(max_vertices) < count
     vertices = jnp.where(valid[:, None], positions[sel], 0.0)
 
     # Feature lookup: voxel -> block -> page -> slot, for both edge
@@ -477,12 +482,13 @@ def _extract_surface_jit(
     )
     has_feat = wsum > 0
     features = jnp.where(has_feat[:, None] & valid[:, None], blended, 0.0)
-    return vertices, features, valid
+    return vertices, features, valid, count
 
 
 def extract_surface_vertices(
-    state: VoxelGridState, config: MappingConfig, max_vertices: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    state: VoxelGridState, config: MappingConfig, max_vertices: int,
+    return_count: bool = False,
+):
     """Extract surface points with per-vertex features.
 
     Surface voxels are observed voxels whose TSDF crosses zero against a
@@ -490,9 +496,11 @@ def extract_surface_vertices(
     axis (linear interpolation), and features come from the voxel's pool slot.
 
     Returns (vertices (N, 3), features (N, F), valid (N,)) with N =
-    max_vertices; invalid rows are zero.
+    max_vertices; invalid rows are zero. With ``return_count`` also returns
+    the total crossing count (may exceed max_vertices - overflow means the
+    budget truncated the surface; raise max_vertices or the voxel size).
     """
-    return _extract_surface_jit(
+    vertices, features, valid, count = _extract_surface_jit(
         state.tsdf,
         state.weight,
         state.page_table,
@@ -501,6 +509,9 @@ def extract_surface_vertices(
         config,
         max_vertices,
     )
+    if return_count:
+        return vertices, features, valid, count
+    return vertices, features, valid
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -114,7 +114,7 @@ def test_runner_with_retries_and_summary(tmp_path):
     assert summary["success_rate"] == 1.0
     import json
 
-    assert json.load(open(eval_path))["num_demos"] == 2
+    assert json.load(open(eval_path))["summary"]["num_demos"] == 2
 
 
 def test_trajectory_to_policy_states_humanoid():

@@ -211,3 +211,158 @@ def test_humanoid_model_train_and_sample(tmp_path):
     assert traj.shape == (2, 1, 2, 8)
     assert head_yaw.shape == (2, 1, 1)
     assert float(jnp.max(jnp.abs(head_yaw))) <= np.pi
+
+
+# --- sim-side machinery: joint indices / hand retargeting / action codec ----
+
+
+def test_humanoid_action_roundtrip():
+    from nvblox_mindmap_tpu.embodiments.humanoid_hand import (
+        HumanoidAction,
+        HumanoidController,
+        NUM_HAND_JOINTS,
+    )
+
+    rng = np.random.default_rng(0)
+    action = HumanoidAction(
+        W_t_W_LeftEef=rng.normal(size=3),
+        q_wxyz_W_LeftEef=[1, 0, 0, 0],
+        left_hand_joint_states=rng.normal(size=NUM_HAND_JOINTS),
+        W_t_W_RightEef=rng.normal(size=3),
+        q_wxyz_W_RightEef=[0, 1, 0, 0],
+        right_hand_joint_states=rng.normal(size=NUM_HAND_JOINTS),
+        head_yaw_rad=[0.3],
+    )
+    tensor = action.to_tensor(include_head_yaw=True)
+    assert tensor.shape == (37,)
+    back = HumanoidAction.from_tensor(tensor)
+    np.testing.assert_array_equal(back.left_hand_joint_states,
+                                  action.left_hand_joint_states)
+    np.testing.assert_array_equal(back.right_hand_joint_states,
+                                  action.right_hand_joint_states)
+    np.testing.assert_array_equal(back.W_t_W_RightEef, action.W_t_W_RightEef)
+    np.testing.assert_array_equal(back.head_yaw_rad, action.head_yaw_rad)
+    # Without head yaw: 36-d.
+    assert action.to_tensor(include_head_yaw=False).shape == (36,)
+
+
+def test_humanoid_controller_retargets_closedness():
+    from nvblox_mindmap_tpu.embodiments.humanoid_hand import (
+        CLOSED_HAND_JOINT_STATES,
+        OPEN_HAND_JOINT_STATES,
+        HumanoidController,
+    )
+
+    ctrl = HumanoidController()
+    state = np.zeros(17, dtype=np.float32)
+    state[3] = 1.0  # L quat w
+    state[11] = 1.0  # R quat w
+    state[7] = 1.0  # left closed
+    state[15] = 0.0  # right open
+    state[16] = -0.5  # head yaw
+    action = ctrl(state)
+    np.testing.assert_allclose(
+        action.left_hand_joint_states,
+        np.asarray(list(CLOSED_HAND_JOINT_STATES.values()), np.float32),
+    )
+    np.testing.assert_allclose(
+        action.right_hand_joint_states,
+        np.asarray(list(OPEN_HAND_JOINT_STATES.values()), np.float32),
+    )
+    assert action.head_yaw_rad[0] == np.float32(-0.5)
+
+
+def test_proximal_joint_selection_and_closedness():
+    from nvblox_mindmap_tpu.embodiments.humanoid_hand import (
+        NUM_HAND_JOINTS,
+        get_tensor_of_proximal_joints,
+        is_hand_closed_instantaneous_from_proximal_joint_states,
+        is_hand_open_instantaneous_from_proximal_joint_states,
+    )
+
+    joints = np.zeros((2, NUM_HAND_JOINTS), np.float32)
+    prox, names = get_tensor_of_proximal_joints(joints)
+    assert names == ["middle_proximal_joint", "pinky_proximal_joint",
+                     "ring_proximal_joint"]
+    assert prox.shape == (2, 3)
+    assert is_hand_open_instantaneous_from_proximal_joint_states(prox[0])
+    joints[1, 1] = -1.5  # middle proximal fully closed
+    prox, _ = get_tensor_of_proximal_joints(joints)
+    assert is_hand_closed_instantaneous_from_proximal_joint_states(prox[1])
+
+
+def test_humanoid_joint_maps_match_reference():
+    """Index layouts pin bit-for-bit against the reference's joint tables."""
+    import sys
+
+    if not os.path.isdir("/root/reference/mindmap"):
+        pytest.skip("reference not available")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from mindmap.embodiments.humanoid.joint_indices import (
+            HumanoidJointIndices as RefIndices,
+        )
+    except Exception as e:  # torch-free import may still fail in some envs
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove("/root/reference")
+    from nvblox_mindmap_tpu.embodiments.humanoid_hand import HumanoidJointIndices
+
+    assert RefIndices.joint_names_dict == HumanoidJointIndices.joint_names_dict
+    assert (RefIndices.left_joints_in_combined_hands_tensor_indices
+            == HumanoidJointIndices.left_joints_in_combined_hands_tensor_indices)
+    assert (RefIndices.right_joints_in_combined_hands_tensor_indices
+            == HumanoidJointIndices.right_joints_in_combined_hands_tensor_indices)
+    assert (list(RefIndices.within_hand_joint_name_to_idx_map)
+            == list(HumanoidJointIndices.within_hand_joint_name_to_idx_map))
+
+
+def test_humanoid_action_matches_reference_to_tensor():
+    """to_tensor packing matches the reference's torch implementation."""
+    import sys
+
+    if not os.path.isdir("/root/reference/mindmap"):
+        pytest.skip("reference not available")
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from mindmap.embodiments.humanoid.action import (
+            HumanoidEmbodimentAction as RefAction,
+        )
+        from mindmap.embodiments.humanoid.controller import (
+            HumanoidEmbodimentController as RefController,
+        )
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove("/root/reference")
+    from nvblox_mindmap_tpu.embodiments.humanoid_hand import (
+        HumanoidAction,
+        HumanoidController,
+    )
+
+    rng = np.random.default_rng(1)
+    kwargs = dict(
+        W_t_W_LeftEef=rng.normal(size=3).astype(np.float32),
+        q_wxyz_W_LeftEef=np.asarray([1, 0, 0, 0], np.float32),
+        left_hand_joint_states=rng.normal(size=11).astype(np.float32),
+        W_t_W_RightEef=rng.normal(size=3).astype(np.float32),
+        q_wxyz_W_RightEef=np.asarray([0, 0, 1, 0], np.float32),
+        right_hand_joint_states=rng.normal(size=11).astype(np.float32),
+        head_yaw_rad=np.asarray([0.7], np.float32),
+    )
+    ours = HumanoidAction(**kwargs).to_tensor(include_head_yaw=True)
+    ref = RefAction(
+        **{k: torch.from_numpy(np.asarray(v)) for k, v in kwargs.items()}
+    ).to_tensor(include_head_yaw=True)
+    np.testing.assert_allclose(ours, ref.numpy())
+
+    # Controller retargeting matches the reference's joint targets.
+    ref_ctrl = RefController()
+    ctrl = HumanoidController()
+    np.testing.assert_allclose(
+        ctrl.get_hand_joint_states(1.0), ref_ctrl.closed_hand_joint_states.numpy()
+    )
+    np.testing.assert_allclose(
+        ctrl.get_hand_joint_states(0.0), ref_ctrl.open_hand_joint_states.numpy()
+    )

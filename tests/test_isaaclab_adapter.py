@@ -1,0 +1,220 @@
+"""Isaac Lab adapter protocol: mocked sim env drives the full surface.
+
+The adapter itself has no Isaac Lab dependency (dependency-injected); only
+make_isaaclab_environment needs the sim. These tests mock the gym-env surface
+the adapter consumes and verify the step/reset/camera/object/success protocol
+matches the reference episode semantics (closed_loop_policy.py:79-241).
+"""
+import numpy as np
+import pytest
+
+from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import (
+    IsaacLabEnvironment,
+    arm_action_from_policy_state,
+    humanoid_action_from_policy_state,
+)
+from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+
+class MockTerm:
+    def __init__(self):
+        self.value = np.asarray([False])
+
+    def get_term(self, name):
+        assert name == "success"
+        return self.value
+
+
+class MockScene:
+    def __init__(self):
+        self.objects = {
+            "cube_1": np.asarray([0.4, 0.0, 0.02, 1, 0, 0, 0], np.float32),
+            "cube_2": np.asarray([0.5, 0.1, 0.02, 1, 0, 0, 0], np.float32),
+        }
+
+    def get_state(self, is_relative=True):
+        return {
+            "rigid_object": {
+                name: {"root_pose": pose[None]}
+                for name, pose in self.objects.items()
+            }
+        }
+
+
+class MockUnwrapped:
+    def __init__(self):
+        self.scene = MockScene()
+        self.termination_manager = MockTerm()
+        self.reset_to_calls = []
+
+    def reset_to(self, state, arg, is_relative):
+        self.reset_to_calls.append((state, is_relative))
+
+
+class MockGymEnv:
+    def __init__(self):
+        self.unwrapped = MockUnwrapped()
+        self.actions = []
+        # Robot: eef pose + jaws, moves a bit toward the commanded pose.
+        self.eef = np.asarray([0.3, 0.0, 0.3, 1, 0, 0, 0], np.float32)
+        self.jaws = np.asarray([0.04, 0.04], np.float32)
+
+    def step(self, action):
+        action = np.asarray(action).reshape(-1)
+        self.actions.append(action.copy())
+        self.eef = action[:7].astype(np.float32)
+        # gripper command: -1 close, +1 open (reference arm action).
+        self.jaws = (np.full(2, 0.0, np.float32) if action[7] < 0
+                     else np.full(2, 0.04, np.float32))
+
+    def reset(self):
+        pass
+
+
+class MockCamera:
+    def get_rgb(self):
+        return np.full((8, 8, 3), 128, np.uint8)
+
+    def get_depth(self):
+        return np.full((8, 8), 1.0, np.float32)
+
+    def get_intrinsics(self):
+        return np.eye(3, dtype=np.float32) * 8
+
+    def get_pose(self):
+        return np.zeros(3, np.float32), np.asarray([1, 0, 0, 0], np.float32)
+
+    def get_semantic_segmentation(self):
+        seg = np.zeros((8, 8, 4), np.uint8)
+        seg[2:5, 2:5] = [10, 20, 30, 255]
+        return seg, {"(10, 20, 30, 255)": {"class": "robot_arm"},
+                     "(0, 0, 0, 0)": {"class": "BACKGROUND"}}
+
+
+def robot_state_fn(env):
+    return np.concatenate([env.eef, env.jaws])
+
+
+def make_adapter():
+    env = MockGymEnv()
+    adapter = IsaacLabEnvironment(
+        env,
+        ArmEmbodiment(),
+        camera_handlers={"wrist": MockCamera()},
+        robot_state_fn=robot_state_fn,
+        initial_state={"seed": 0},
+    )
+    return env, adapter
+
+
+def test_arm_action_conversion():
+    state = np.asarray([0.4, 0.1, 0.3, 1, 0, 0, 0, 0.9], np.float32)
+    action = arm_action_from_policy_state(state)
+    np.testing.assert_array_equal(action[:7], state[:7])
+    assert action[7] == -1.0  # closed
+    open_action = arm_action_from_policy_state(
+        np.asarray([0.4, 0.1, 0.3, 1, 0, 0, 0, 0.1], np.float32)
+    )
+    assert open_action[7] == 1.0
+
+
+def test_humanoid_action_conversion():
+    state = np.zeros(17, np.float32)
+    state[3] = 1.0
+    state[11] = 1.0
+    state[7] = 1.0  # left closed
+    action = humanoid_action_from_policy_state(state)
+    assert action.shape == (37,)
+
+
+def test_reset_uses_recorded_initial_state():
+    env, adapter = make_adapter()
+    adapter.reset()
+    assert env.unwrapped.reset_to_calls == [({"seed": 0}, True)]
+
+
+def test_step_none_holds_current_pose():
+    """Warmup steps command the current pose (reference :123-134)."""
+    env, adapter = make_adapter()
+    adapter.step(None)
+    assert len(env.actions) == 1
+    np.testing.assert_allclose(env.actions[0][:7], env.eef)
+    assert env.actions[0][7] == 1.0  # jaws open -> open command
+
+
+def test_step_goal_moves_and_grips():
+    env, adapter = make_adapter()
+    goal = np.asarray([0.5, 0.0, 0.2, 1, 0, 0, 0, 1.0], np.float32)
+    adapter.step(goal)
+    np.testing.assert_allclose(env.eef, goal[:7])
+    assert env.jaws[0] == 0.0  # closed
+    state = adapter.get_policy_state()
+    assert state.shape == (8,)
+    assert state[7] == 1.0  # closedness observed
+
+
+def test_cameras_carry_segmentation_with_label_map():
+    env, adapter = make_adapter()
+    frames = adapter.get_cameras()
+    frame = frames["wrist"]
+    assert frame.rgb.dtype == np.float32 and frame.rgb.max() <= 1.0
+    assert frame.segmentation is not None
+    labels = adapter.semantic_id_to_class
+    robot_ids = [i for i, c in labels.items() if c == "robot_arm"]
+    assert len(robot_ids) == 1
+    assert (frame.segmentation == robot_ids[0]).sum() == 9
+
+    # The TPU-side dynamic mask builds from this exact pair.
+    from nvblox_mindmap_tpu.closed_loop.environment import (
+        dynamic_mask_from_segmentation,
+    )
+
+    mask = dynamic_mask_from_segmentation(
+        frame.segmentation, labels, ("robot_arm",)
+    )
+    assert mask.sum() == 9
+
+
+def test_object_poses_and_success():
+    env, adapter = make_adapter()
+    poses = adapter.get_object_poses()
+    assert set(poses) == {"cube_1", "cube_2"}
+    assert poses["cube_1"].shape == (7,)
+    assert adapter.is_success() is False
+    env.unwrapped.termination_manager.value = np.asarray([True])
+    assert adapter.is_success() is True
+
+
+def test_served_adapter_over_the_bridge():
+    """The adapter works end-to-end through the remote protocol."""
+    from nvblox_mindmap_tpu.closed_loop.remote_env import (
+        EnvironmentServer,
+        RemoteEnvironment,
+    )
+
+    env, adapter = make_adapter()
+    server = EnvironmentServer(adapter, port=0).start()
+    try:
+        remote = RemoteEnvironment("127.0.0.1", server.port)
+        remote.reset()
+        remote.step(np.asarray([0.5, 0.0, 0.2, 1, 0, 0, 0, 1.0], np.float32))
+        state = remote.get_policy_state()
+        np.testing.assert_allclose(state[:3], [0.5, 0.0, 0.2], atol=1e-6)
+        frames = remote.get_cameras()
+        assert frames["wrist"].segmentation is not None
+        labels = remote.semantic_id_to_class
+        assert "robot_arm" in labels.values()
+        poses = remote.get_object_poses()
+        assert set(poses) == {"cube_1", "cube_2"}
+        remote.close()
+    finally:
+        server.stop()
+
+
+def test_factory_is_import_guarded():
+    from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import (
+        make_isaaclab_environment,
+    )
+
+    with pytest.raises(ImportError, match="Isaac Lab"):
+        make_isaaclab_environment("cube_stacking", "x.hdf5", "demo_0")

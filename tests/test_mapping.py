@@ -428,3 +428,31 @@ def test_include_dynamic_requires_segmentation():
     with pytest.raises(ValueError, match="segmentation"):
         nvblox_integrate(mapper, cfg, depth, feat, K, T, rgb,
                          dynamic_mask=None, include_dynamic=True)
+
+
+def test_surface_extraction_overflow_is_detected(caplog):
+    """The crossing count is surfaced and overflow warns instead of silently
+    truncating (fill entries no longer alias voxel 0 as valid)."""
+    import logging
+
+    cfg = small_config()
+    mapper = Mapper({MapperId.STATIC: cfg})
+    K, T, H, W = camera()
+    depth = np.full((H, W), 1.0, dtype=np.float32)
+    mapper.add_depth_frame(depth, T, K)
+
+    # Ample budget: count equals the number of valid vertices.
+    mapper.update_feature_mesh(MapperId.STATIC, max_vertices=8192)
+    _, _, valid = mapper.get_feature_mesh(MapperId.STATIC)
+    full_count = mapper.last_crossing_count
+    assert full_count == int(np.asarray(valid).sum())
+    assert full_count > 16
+
+    # Tiny budget: overflow detected, exactly max_vertices valid, warning.
+    with caplog.at_level(logging.WARNING,
+                         logger="nvblox_mindmap_tpu.mapping"):
+        mapper.update_feature_mesh(MapperId.STATIC, max_vertices=16)
+    assert mapper.last_crossing_count == full_count
+    _, _, valid = mapper.get_feature_mesh(MapperId.STATIC)
+    assert int(np.asarray(valid).sum()) == 16
+    assert any("overflow" in r.message for r in caplog.records)

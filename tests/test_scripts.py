@@ -106,3 +106,76 @@ def test_visualize_nvblox_tensors(tmp_path):
     viz_main(["--map", map_path, "--output_dir", out, "--num_slices", "4"])
     assert os.path.exists(os.path.join(out, "tsdf_slice_0.png"))
     assert os.path.exists(os.path.join(out, "surface.ply"))
+
+
+def test_extract_fpn_from_model(tmp_path):
+    """Pulls the trained FPN (+ frozen trunk) out of a checkpoint file."""
+    import pickle
+
+    import numpy as np
+    from flax import serialization
+
+    from nvblox_mindmap_tpu.models.weight_conversion import load_variables_npz
+    from nvblox_mindmap_tpu.scripts.extract_fpn_from_model import main as fpn_main
+
+    params = {
+        "encoder": {
+            "feature_extractor": {
+                "backbone": {"conv1": {"kernel": np.ones((3, 3, 3, 4), np.float32)}},
+                "fpn": {"inner_0": {"kernel": np.full((1, 1, 4, 2), 7.0, np.float32),
+                                    "bias": np.zeros(2, np.float32)}},
+            },
+            "other": {"kernel": np.zeros((2, 2), np.float32)},
+        }
+    }
+    ckpt = tmp_path / "best.ckpt"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"params": serialization.to_bytes(params),
+                     "opt_state": pickle.dumps(None), "iter": 3,
+                     "best_loss": 0.5}, f)
+    out = str(tmp_path / "fpn.npz")
+    fpn_main(["--model_path", str(ckpt), "--output_path", out])
+    loaded = load_variables_npz(out)
+    np.testing.assert_array_equal(
+        loaded["params"]["fpn"]["inner_0"]["kernel"], 7.0
+    )
+    assert "backbone" in loaded["params"]
+    assert "other" not in loaded["params"]
+
+
+def test_plot_humanoid_keyposes(tmp_path):
+    import numpy as np
+
+    from tests.test_humanoid import write_humanoid_demo
+    from nvblox_mindmap_tpu.scripts.plot_humanoid_keyposes import main as plot_main
+
+    demo = tmp_path / "demo_00000"
+    write_humanoid_demo(str(demo))
+    plots = tmp_path / "plots"
+    plot_main(["--demo_path", str(tmp_path), "--output_dir", str(plots)])
+    assert (plots / "demo_00000_keyposes.png").exists()
+
+
+def test_video_from_depth(tmp_path):
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from nvblox_mindmap_tpu.scripts.video_from_depth import main as video_main
+
+    for i in range(5):
+        depth = np.full((32, 32), 1000 + 100 * i, np.uint16)
+        depth[8:24, 8:24] = 500
+        imageio.imwrite(str(tmp_path / f"{i}.wrist_depth.png"), depth)
+    out = str(tmp_path / "depth.mp4")
+    video_main([str(tmp_path), out, "--pattern", "*depth.png"])
+    if os.path.exists(out):
+        frames = imageio.mimread(out)
+        assert len(frames) == 5
+    else:
+        # No mp4 codec in this image: VideoWriter writes PNG frames instead.
+        import glob as _glob
+
+        frames = sorted(_glob.glob(str(tmp_path / "depth_*.png")))
+        assert len(frames) == 5
+        img = imageio.imread(frames[0])
+        assert img.shape == (32, 32, 3)
