@@ -119,22 +119,52 @@ class Mapper:
             self.update_feature_mesh(mapper_id)
         return self._mesh_cache[mapper_id]
 
-    def update_color_mesh(self, mapper_id: int = MapperId.STATIC):
-        """Extract a triangle mesh with per-vertex colors (host Surface Nets).
+    def update_color_mesh(self, mapper_id: int = MapperId.STATIC,
+                          backend: str = "device",
+                          max_vertices: int = 65536,
+                          max_triangles: int = 262144):
+        """Extract a triangle mesh with per-vertex colors.
 
         (reference: nvblox update_color_mesh / get_color_mesh for viz)
+        ``backend="device"`` runs the Surface Nets pass as one XLA program
+        (vg.extract_surface_mesh_device); ``"host"`` keeps the numpy path
+        (unbounded vertex count, useful offline).
         """
-        from nvblox_mindmap_tpu.mapping.surface_nets import surface_nets
-
         cfg = self.configs[mapper_id]
-        state = jax.device_get(self.states[mapper_id])
-        vertices, triangles, cells = surface_nets(
-            np.asarray(state.tsdf),
-            np.asarray(state.weight),
-            cfg.voxel_size_m,
-            np.asarray(cfg.aabb_min_m, dtype=np.float64),
-            truncation=cfg.truncation_distance_m,
-        )
+        if backend == "device":
+            (vertices, vertex_valid, cells, triangles, tri_valid,
+             n_vertices, n_triangles) = vg.extract_surface_mesh_device(
+                self.states[mapper_id], cfg, max_vertices, max_triangles
+            )
+            (vertices, vertex_valid, cells, triangles, tri_valid) = (
+                jax.device_get(
+                    (vertices, vertex_valid, cells, triangles, tri_valid)
+                )
+            )
+            if int(n_vertices) > max_vertices or int(n_triangles) > max_triangles:
+                import logging
+
+                logging.getLogger("nvblox_mindmap_tpu.mapping").warning(
+                    "color-mesh budget overflow: %d vertices / %d triangles "
+                    "(budget %d / %d); mesh truncated",
+                    int(n_vertices), int(n_triangles),
+                    max_vertices, max_triangles,
+                )
+            vertices = np.asarray(vertices)[vertex_valid]
+            cells = np.asarray(cells)[vertex_valid]
+            triangles = np.asarray(triangles)[tri_valid]
+            state = jax.device_get(self.states[mapper_id])
+        else:
+            from nvblox_mindmap_tpu.mapping.surface_nets import surface_nets
+
+            state = jax.device_get(self.states[mapper_id])
+            vertices, triangles, cells = surface_nets(
+                np.asarray(state.tsdf),
+                np.asarray(state.weight),
+                cfg.voxel_size_m,
+                np.asarray(cfg.aabb_min_m, dtype=np.float64),
+                truncation=cfg.truncation_distance_m,
+            )
         colors = self._lookup_pool_host(state, cfg, cells, state.color,
                                         state.color_weight)
         self._color_mesh_cache = (vertices, triangles, colors)

@@ -514,6 +514,171 @@ def extract_surface_vertices(
     return vertices, features, valid
 
 
+@partial(
+    jax.jit, static_argnames=("config", "max_vertices", "max_triangles")
+)
+def _surface_nets_device_jit(tsdf, weight, config: MappingConfig,
+                             max_vertices: int, max_triangles: int):
+    """Dual (Surface Nets) triangle mesh fully on device.
+
+    XLA redesign of the host surface_nets pass (mapping/surface_nets.py, the
+    TPU counterpart of nvblox's CUDA marching cubes update_color_mesh): one
+    vertex per sign-change cell at the mean of its edge zero-crossings, a quad
+    (two triangles) across every grid edge with a sign change. Fixed budgets
+    (max_vertices / max_triangles) keep shapes static for jit.
+    """
+    X, Y, Z = config.grid_shape
+    CX, CY, CZ = X - 1, Y - 1, Z - 1
+    trunc = config.truncation_distance_m
+    obs = (weight > 0) & (jnp.abs(tsdf) < trunc)
+    signs = tsdf >= 0
+
+    def corner(a, dx, dy, dz):
+        return a[dx: CX + dx, dy: CY + dy, dz: CZ + dz]
+
+    all_obs = jnp.ones((CX, CY, CZ), dtype=bool)
+    any_pos = jnp.zeros((CX, CY, CZ), dtype=bool)
+    any_neg = jnp.zeros((CX, CY, CZ), dtype=bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                all_obs &= corner(obs, dx, dy, dz)
+                s = corner(signs, dx, dy, dz)
+                any_pos |= s
+                any_neg |= ~s
+    active = all_obs & any_pos & any_neg
+
+    # Vertex position per cell: mean of the 12 edge zero-crossings (traced
+    # python loop = unrolled elementwise ops; XLA fuses the lot).
+    gx, gy, gz = jnp.meshgrid(
+        jnp.arange(CX, dtype=jnp.float32),
+        jnp.arange(CY, dtype=jnp.float32),
+        jnp.arange(CZ, dtype=jnp.float32),
+        indexing="ij",
+    )
+    base = jnp.stack([gx, gy, gz], axis=-1)  # (CX, CY, CZ, 3)
+    acc = jnp.zeros((CX, CY, CZ, 3))
+    counts = jnp.zeros((CX, CY, CZ))
+    for axis in range(3):
+        for u in (0, 1):
+            for v in (0, 1):
+                a = [u, v]
+                a.insert(axis, 0)
+                b = [u, v]
+                b.insert(axis, 1)
+                va = corner(tsdf, *a)
+                vb = corner(tsdf, *b)
+                crossing = (va >= 0) != (vb >= 0)
+                denom = va - vb
+                t = jnp.where(jnp.abs(denom) > 1e-12, va / jnp.where(
+                    jnp.abs(denom) > 1e-12, denom, 1.0), 0.5)
+                point = base + jnp.asarray(a, dtype=jnp.float32)
+                point = point.at[..., axis].add(t)
+                acc = acc + jnp.where(crossing[..., None], point, 0.0)
+                counts = counts + crossing
+    centers = acc / jnp.maximum(counts, 1.0)[..., None]
+    origin = jnp.asarray(config.aabb_min_m, dtype=jnp.float32)
+    positions = origin + (centers + 0.5) * config.voxel_size_m
+
+    n_vertices = jnp.sum(active)
+    sel = jnp.nonzero(active.reshape(-1), size=max_vertices, fill_value=0)[0]
+    vertex_valid = jnp.arange(max_vertices) < n_vertices
+    vertices = jnp.where(
+        vertex_valid[:, None], positions.reshape(-1, 3)[sel], 0.0
+    )
+    cells = jnp.stack(
+        [sel // (CY * CZ), (sel // CZ) % CY, sel % CZ], axis=-1
+    ).astype(jnp.int32)
+    cells = jnp.where(vertex_valid[:, None], cells, 0)
+
+    # Dense cell -> compact vertex id (invalid = -1).
+    vid = jnp.full(CX * CY * CZ, -1, dtype=jnp.int32)
+    vid = vid.at[sel].set(
+        jnp.where(vertex_valid, jnp.arange(max_vertices, dtype=jnp.int32), -1)
+    )
+    vid = vid.reshape(CX, CY, CZ)
+
+    # Quads per crossing grid edge, all three axes concatenated.
+    quad_ids = []
+    quad_flags = []
+    quad_flips = []
+    for axis in range(3):
+        dims = [X, Y, Z]
+        sl_a = [slice(0, X), slice(0, Y), slice(0, Z)]
+        sl_b = list(sl_a)
+        sl_a[axis] = slice(0, dims[axis] - 1)
+        sl_b[axis] = slice(1, dims[axis])
+        ea = signs[tuple(sl_a)]
+        eb = signs[tuple(sl_b)]
+        eobs = obs[tuple(sl_a)] & obs[tuple(sl_b)]
+        change = (ea != eb) & eobs
+        EX, EY, EZ = change.shape
+        exg, eyg, ezg = jnp.meshgrid(
+            jnp.arange(EX), jnp.arange(EY), jnp.arange(EZ), indexing="ij"
+        )
+        coords = [exg, eyg, ezg]
+        o1, o2 = [a for a in range(3) if a != axis]
+        ids4 = []
+        ok = change
+        for d1 in (0, 1):
+            for d2 in (0, 1):
+                c = [coords[0], coords[1], coords[2]]
+                c[o1] = c[o1] - d1
+                c[o2] = c[o2] - d2
+                in_range = (
+                    (c[0] >= 0) & (c[0] < CX)
+                    & (c[1] >= 0) & (c[1] < CY)
+                    & (c[2] >= 0) & (c[2] < CZ)
+                )
+                cid = vid[
+                    jnp.clip(c[0], 0, CX - 1),
+                    jnp.clip(c[1], 0, CY - 1),
+                    jnp.clip(c[2], 0, CZ - 1),
+                ]
+                cid = jnp.where(in_range, cid, -1)
+                ok = ok & (cid >= 0)
+                ids4.append(cid.reshape(-1))
+        quad_ids.append(jnp.stack(ids4, axis=-1))  # (E, 4)
+        quad_flags.append(ok.reshape(-1))
+        quad_flips.append(ea.reshape(-1))
+    quad_ids = jnp.concatenate(quad_ids, axis=0)
+    quad_flags = jnp.concatenate(quad_flags, axis=0)
+    quad_flips = jnp.concatenate(quad_flips, axis=0)
+
+    max_quads = max_triangles // 2
+    n_quads = jnp.sum(quad_flags)
+    qsel = jnp.nonzero(quad_flags, size=max_quads, fill_value=0)[0]
+    quad_valid = jnp.arange(max_quads) < n_quads
+    q = quad_ids[qsel]  # (Q, 4) order: (0,0), (0,1), (1,0), (1,1)
+    flips = quad_flips[qsel]
+    q00, q01, q10, q11 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    t1 = jnp.where(
+        flips[:, None], jnp.stack([q00, q10, q11], 1),
+        jnp.stack([q00, q11, q10], 1),
+    )
+    t2 = jnp.where(
+        flips[:, None], jnp.stack([q00, q11, q01], 1),
+        jnp.stack([q00, q01, q11], 1),
+    )
+    triangles = jnp.concatenate([t1, t2], axis=0)
+    tri_valid = jnp.concatenate([quad_valid, quad_valid], axis=0)
+    triangles = jnp.where(tri_valid[:, None], triangles, 0)
+    return vertices, vertex_valid, cells, triangles, tri_valid, n_vertices, \
+        n_quads * 2
+
+
+def extract_surface_mesh_device(
+    state: VoxelGridState, config: MappingConfig,
+    max_vertices: int = 65536, max_triangles: int = 262144,
+):
+    """Device triangle mesh: (vertices (V, 3), vertex_valid (V,), cells
+    (V, 3) owning cell for attribute lookup, triangles (T, 3), tri_valid (T,),
+    n_vertices, n_triangles). Budget overflow is detectable via the counts."""
+    return _surface_nets_device_jit(
+        state.tsdf, state.weight, config, max_vertices, max_triangles
+    )
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _query_pool_dense_jit(page_table, pool, pool_weight,
                           config: MappingConfig):

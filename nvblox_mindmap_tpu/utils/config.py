@@ -288,6 +288,14 @@ def parse_args(cls: Type, argv: Optional[List[str]] = None):
                     raw))
     if hasattr(instance, "process_args"):
         instance.process_args()
+    # The reference accepts "analog" but never implements it (cli/args.py);
+    # reject it loudly instead of training with silently-binary grippers.
+    mode = getattr(instance, "gripper_encoding_mode", "binary")
+    if mode != "binary":
+        raise NotImplementedError(
+            f"gripper_encoding_mode={mode!r} is not implemented (only "
+            "'binary'; the reference accepts 'analog' but ignores it)"
+        )
     return instance
 
 

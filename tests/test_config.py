@@ -96,3 +96,12 @@ def test_model_config_from_args_arm():
     cfg = model_config_from_args(args)
     assert cfg.ngrippers == 1
     assert not cfg.predict_head_yaw
+
+
+def test_analog_gripper_mode_is_rejected_loudly():
+    import pytest
+
+    from nvblox_mindmap_tpu.utils.config import OpenLoopAppArgs, parse_args
+
+    with pytest.raises(NotImplementedError, match="analog"):
+        parse_args(OpenLoopAppArgs, ["--gripper_encoding_mode", "analog"])

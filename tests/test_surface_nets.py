@@ -82,3 +82,84 @@ def test_mapper_color_mesh(tmp_path):
     save_mesh_ply(path, vertices, triangles, colors)
     text = open(path).read()
     assert f"element face {len(triangles)}" in text
+
+
+def test_device_surface_nets_matches_host():
+    """The XLA Surface Nets pass reproduces the host mesh: same vertex set
+    (within fp tolerance), same triangle count, watertight on a wall."""
+    import jax
+
+    from nvblox_mindmap_tpu.mapping import voxel_grid as vg
+    from nvblox_mindmap_tpu.mapping.constants import MapperId, MappingConfig
+    from nvblox_mindmap_tpu.mapping.mapper import Mapper
+
+    cfg = MappingConfig(
+        voxel_size_m=0.02,
+        aabb_min_m=(-0.5, -0.5, 0.5),
+        aabb_max_m=(0.5, 0.5, 1.5),
+        feature_dim=4,
+        max_feature_pages=256,
+        valid_depth_mask_erosion_iterations=1,
+        static_mask_erosion_iterations=1,
+    )
+    mapper = Mapper({MapperId.STATIC: cfg})
+    H = W = 64
+    f = 64.0
+    K = np.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    depth = (1.0 + 0.03 * rng.standard_normal((H, W))).astype(np.float32)
+    rgb = np.full((H, W, 3), 0.6, np.float32)
+    mapper.add_depth_frame(depth, T, K)
+    mapper.add_color_frame(rgb, T, K)
+
+    # Host mesh.
+    mapper.update_color_mesh(MapperId.STATIC, backend="host")
+    hv, ht, hc = mapper.get_color_mesh(MapperId.STATIC)
+    # Device mesh.
+    mapper.update_color_mesh(MapperId.STATIC, backend="device")
+    dv, dt, dc = mapper.get_color_mesh(MapperId.STATIC)
+
+    assert len(dv) == len(hv) > 50
+    assert len(dt) == len(ht) > 50
+    # Same vertex set (device emits in flat-cell order == host argwhere order).
+    np.testing.assert_allclose(dv, hv, atol=1e-5)
+    np.testing.assert_allclose(dc, hc, atol=1e-6)
+    # Triangles reference valid vertices.
+    assert dt.min() >= 0 and dt.max() < len(dv)
+    # Triangle sets are identical up to ordering.
+    def tri_key(t):
+        return set(map(tuple, np.sort(np.asarray(t), axis=1)))
+
+    assert tri_key(dt) == tri_key(ht)
+
+
+def test_device_surface_nets_budget_overflow_detected():
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.mapping import voxel_grid as vg
+    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+
+    cfg = MappingConfig(
+        voxel_size_m=0.02,
+        aabb_min_m=(-0.5, -0.5, 0.5),
+        aabb_max_m=(0.5, 0.5, 1.5),
+        feature_dim=4,
+        max_feature_pages=128,
+        valid_depth_mask_erosion_iterations=1,
+        static_mask_erosion_iterations=1,
+    )
+    state = vg.create_state(cfg)
+    H = W = 64
+    f = 64.0
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    T = jnp.eye(4)
+    depth = jnp.full((H, W), 1.0)
+    state = vg.integrate_depth(state, cfg, depth, T, K)
+
+    out = vg.extract_surface_mesh_device(state, cfg, max_vertices=8,
+                                         max_triangles=8)
+    _, vertex_valid, _, _, tri_valid, n_vertices, n_triangles = out
+    assert int(n_vertices) > 8  # overflow reported
+    assert int(np.asarray(vertex_valid).sum()) == 8
+    assert int(np.asarray(tri_valid).sum()) <= 8
