@@ -27,9 +27,20 @@ from nvblox_mindmap_tpu.ops.attention import multi_head_attention
 
 
 class MultiheadAttention(nn.Module):
+    """Projected multi-head attention with the reference's variant surface.
+
+    ``slot_competition``, ``gate_attn`` (+ ``k_mem``/``v_mem``/``mem_mask``
+    memory gating) and ``return_kv`` mirror the reference's
+    MultiheadCustomAttention options (multihead_custom_attention.py:45-68,
+    495-551); the reference model never enables them in its shipped configs,
+    but they are part of the module contract.
+    """
+
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    slot_competition: bool = False
+    gate_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -41,13 +52,23 @@ class MultiheadAttention(nn.Module):
         key_padding_mask: Optional[jnp.ndarray] = None,
         need_weights: bool = True,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        k_mem: Optional[jnp.ndarray] = None,
+        v_mem: Optional[jnp.ndarray] = None,
+        mem_mask: Optional[jnp.ndarray] = None,
+        return_kv: bool = False,
+    ):
         dense = lambda name: nn.Dense(
             self.embed_dim, kernel_init=nn.initializers.xavier_uniform(), name=name
         )
         q = dense("q_proj")(query)
         k = dense("k_proj")(key)
         v = dense("v_proj")(value)
+        gate_logits = None
+        if self.gate_attn:
+            # Reference inits the per-head gate with randn (:67-68).
+            gate_logits = self.param(
+                "gate_attn", nn.initializers.normal(1.0), (self.num_heads,)
+            )
         # Under the flash default (models/converter.py inference swap) the
         # kernel cannot materialize weights - drop them, like the reference's
         # MultiheadFlashAttention drop-in.
@@ -55,7 +76,7 @@ class MultiheadAttention(nn.Module):
 
         if get_default_attention_impl() == "flash":
             need_weights = False
-        out, weights = multi_head_attention(
+        result = multi_head_attention(
             q,
             k,
             v,
@@ -63,7 +84,17 @@ class MultiheadAttention(nn.Module):
             key_padding_mask=key_padding_mask,
             rotary_codes=rotary_codes,
             need_weights=need_weights,
+            slot_competition=self.slot_competition,
+            k_mem=k_mem,
+            v_mem=v_mem,
+            mem_mask=mem_mask,
+            gate_logits=gate_logits,
+            return_kv=return_kv,
         )
+        if return_kv:
+            out, qh, kh, vh = result
+            return dense("out_proj")(out), qh, kh, vh
+        out, weights = result
         out = dense("out_proj")(out)
         return out, weights
 

@@ -54,7 +54,13 @@ def multi_head_attention(
     rotary_codes: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     need_weights: bool = True,
     impl: Optional[str] = None,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    slot_competition: bool = False,
+    k_mem: Optional[jnp.ndarray] = None,
+    v_mem: Optional[jnp.ndarray] = None,
+    mem_mask: Optional[jnp.ndarray] = None,
+    gate_logits: Optional[jnp.ndarray] = None,
+    return_kv: bool = False,
+):
     """Scaled dot-product attention over projected q/k/v.
 
     Args:
@@ -66,9 +72,22 @@ def multi_head_attention(
         rotary_codes: optional (q_code, k_code), each (B, L/S, E, 2) from
             ``rotary_pe_3d``; applied to q and k at full embedding width.
         need_weights: also return per-head attention weights (B, H, L, S).
+        slot_competition: slot-attention-style normalization - softmax over
+            the *query* axis (+1e-8) then renormalize over keys (reference:
+            multihead_custom_attention.py:495-497).
+        k_mem / v_mem: optional (B, S_mem, E) projected memory keys/values
+            for memorizing-transformers gating (reference :507-545; the
+            reference takes (B, E, S_mem) and permutes - we take batch-first).
+        mem_mask: optional (B, S_mem) float/bool *multiplicative* weight mask
+            on the memory attention (reference :520-528).
+        gate_logits: (num_heads,) learnable gate; output becomes
+            sigmoid(gate)*mem_attn + (1-sigmoid(gate))*attn per head.
+        return_kv: additionally return the post-rotary per-head q, k, v
+            (reference :550-551). Returns (out, q, k, v) in that case.
 
     Returns:
-        (attn_out (B, L, E), weights or None)
+        (attn_out (B, L, E), weights or None), or (out, q, k, v) when
+        ``return_kv`` (each (B, T, H, head_dim)).
     """
     if impl is None:
         impl = _DEFAULT_IMPL
@@ -90,7 +109,14 @@ def multi_head_attention(
     kh = k.reshape(B, S, num_heads, head_dim)
     vh = v.reshape(B, S, num_heads, head_dim)
 
-    if impl == "flash" and not need_weights:
+    has_memory = gate_logits is not None and k_mem is not None and v_mem is not None
+    if (
+        impl == "flash"
+        and not need_weights
+        and not slot_competition
+        and not has_memory
+        and not return_kv
+    ):
         from nvblox_mindmap_tpu.ops import flash_attention as fa
 
         inclusion = None if key_padding_mask is None else ~key_padding_mask
@@ -108,6 +134,26 @@ def multi_head_attention(
     logits = jnp.einsum("blhd,bshd->bhls", qh, kh)
     if key_padding_mask is not None:
         logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhls,bshd->blhd", weights, vh).reshape(B, L, E)
+    if slot_competition:
+        # Slots compete for keys: normalize over queries first, then make
+        # each query's weights sum to one over keys.
+        weights = jax.nn.softmax(logits, axis=-2) + 1e-8
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    else:
+        weights = jax.nn.softmax(logits, axis=-1)
+    outh = jnp.einsum("bhls,bshd->blhd", weights, vh)
+
+    if has_memory:
+        kmh = k_mem.reshape(B, -1, num_heads, head_dim)
+        vmh = v_mem.reshape(B, -1, num_heads, head_dim)
+        mem_w = jax.nn.softmax(jnp.einsum("blhd,bshd->bhls", qh, kmh), axis=-1)
+        if mem_mask is not None:
+            mem_w = mem_w * mem_mask[:, None, None, :].astype(mem_w.dtype)
+        mem_out = jnp.einsum("bhls,bshd->blhd", mem_w, vmh)
+        gate = jax.nn.sigmoid(gate_logits).reshape(1, 1, num_heads, 1)
+        outh = gate * mem_out + (1.0 - gate) * outh
+
+    out = outh.reshape(B, L, E)
+    if return_kv:
+        return out, qh, kh, vh
     return out, (weights if need_weights else None)

@@ -243,6 +243,11 @@ class Trainer:
         # cheaply, run_training.py:249-378). Set eval_num_inference_steps=None
         # for full-fidelity eval sampling.
         n_steps = self.config.eval_num_inference_steps
+        if n_steps is not None:
+            # Tiny-model configs can train with fewer than 10 diffusion
+            # timesteps; the sampler cannot take more inference steps than
+            # the training schedule has.
+            n_steps = min(n_steps, cfg.diffusion_timesteps)
         kind = self.config.eval_scheduler
 
         @jax.jit

@@ -144,3 +144,146 @@ def test_custom_attention_matches_reference(reference_modules):
         ours, np.transpose(ref_out, (1, 0, 2)), atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(weights), ref_w, atol=2e-5)
+
+
+def _map_attn_weights(ref_attn):
+    """torch in_proj/out_proj -> (Wq, bq, Wk, bk, Wv, bv, out_w, out_b)."""
+    in_w = ref_attn.in_proj_weight.detach().numpy()
+    in_b = ref_attn.in_proj_bias.detach().numpy()
+    Wq, Wk, Wv = np.split(in_w, 3, axis=0)
+    bq, bk, bv = np.split(in_b, 3, axis=0)
+    out_w = ref_attn.out_proj.weight.detach().numpy()
+    out_b = ref_attn.out_proj.bias.detach().numpy()
+    return Wq, bq, Wk, bk, Wv, bv, out_w, out_b
+
+
+def test_slot_competition_matches_reference(reference_modules):
+    """slot_competition=True: softmax over queries, renormalized over keys
+    (reference multihead_custom_attention.py:495-497).
+
+    Intentional divergence: the reference NaNs when slot_competition is
+    combined with a key_padding_mask (a fully -inf key *column* makes the
+    query-axis softmax 0/0); it never combines the two in shipped configs.
+    Our finite masked logit (-1e9) stays NaN-free, so parity is checked
+    unmasked.
+    """
+    _, mha_mod = reference_modules
+    from nvblox_mindmap_tpu.ops.attention import multi_head_attention
+
+    E, H, L, S, B = 24, 4, 5, 9, 2
+    torch.manual_seed(1)
+    ref_attn = mha_mod.MultiheadCustomAttention(E, H, slot_competition=True).eval()
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(L, B, E)).astype(np.float32)
+    kv = rng.normal(size=(S, B, E)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, ref_w = ref_attn(
+            torch.from_numpy(q),
+            torch.from_numpy(kv),
+            torch.from_numpy(kv),
+        )
+    Wq, bq, Wk, bk, Wv, bv, out_w, out_b = _map_attn_weights(ref_attn)
+    q_b = jnp.asarray(np.transpose(q, (1, 0, 2)))
+    kv_b = jnp.asarray(np.transpose(kv, (1, 0, 2)))
+    attn_out, weights = multi_head_attention(
+        q_b @ jnp.asarray(Wq.T) + jnp.asarray(bq),
+        kv_b @ jnp.asarray(Wk.T) + jnp.asarray(bk),
+        kv_b @ jnp.asarray(Wv.T) + jnp.asarray(bv),
+        H,
+        slot_competition=True,
+    )
+    ours = np.asarray(attn_out @ jnp.asarray(out_w.T) + jnp.asarray(out_b))
+    np.testing.assert_allclose(
+        ours, np.transpose(ref_out.numpy(), (1, 0, 2)), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(weights), ref_w.numpy(), atol=2e-5)
+
+
+def test_memory_gated_attention_matches_reference(reference_modules):
+    """gate_attn + k_mem/v_mem/mem_mask memorizing-transformers path
+    (reference multihead_custom_attention.py:507-545)."""
+    _, mha_mod = reference_modules
+    from nvblox_mindmap_tpu.ops.attention import multi_head_attention
+
+    E, H, L, S, SM, B = 24, 4, 3, 8, 6, 2
+    torch.manual_seed(2)
+    ref_attn = mha_mod.MultiheadCustomAttention(E, H, gate_attn=True).eval()
+
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(L, B, E)).astype(np.float32)
+    kv = rng.normal(size=(S, B, E)).astype(np.float32)
+    # Reference memory layout: (B, E, S_mem); already per-head projected.
+    k_mem = rng.normal(size=(B, E, SM)).astype(np.float32)
+    v_mem = rng.normal(size=(B, E, SM)).astype(np.float32)
+    mem_mask = rng.integers(0, 2, size=(B, SM)).astype(np.float32)
+    mask = np.zeros((B, S), dtype=bool)
+    mask[1, -3:] = True
+    with torch.no_grad():
+        ref_out, _ = ref_attn(
+            torch.from_numpy(q),
+            torch.from_numpy(kv),
+            torch.from_numpy(kv),
+            key_padding_mask=torch.from_numpy(mask),
+            k_mem=torch.from_numpy(k_mem),
+            v_mem=torch.from_numpy(v_mem),
+            mem_mask=torch.from_numpy(mem_mask),
+        )
+    gate = ref_attn.gate_attn.detach().numpy()
+    Wq, bq, Wk, bk, Wv, bv, out_w, out_b = _map_attn_weights(ref_attn)
+    q_b = jnp.asarray(np.transpose(q, (1, 0, 2)))
+    kv_b = jnp.asarray(np.transpose(kv, (1, 0, 2)))
+    attn_out, _ = multi_head_attention(
+        q_b @ jnp.asarray(Wq.T) + jnp.asarray(bq),
+        kv_b @ jnp.asarray(Wk.T) + jnp.asarray(bk),
+        kv_b @ jnp.asarray(Wv.T) + jnp.asarray(bv),
+        H,
+        key_padding_mask=jnp.asarray(mask),
+        k_mem=jnp.asarray(np.transpose(k_mem, (0, 2, 1))),
+        v_mem=jnp.asarray(np.transpose(v_mem, (0, 2, 1))),
+        mem_mask=jnp.asarray(mem_mask),
+        gate_logits=jnp.asarray(gate),
+    )
+    ours = np.asarray(attn_out @ jnp.asarray(out_w.T) + jnp.asarray(out_b))
+    np.testing.assert_allclose(
+        ours, np.transpose(ref_out.numpy(), (1, 0, 2)), atol=2e-5
+    )
+
+
+def test_return_kv_matches_reference(reference_modules):
+    """return_kv surfaces the post-rotary per-head q/k/v (reference :550-551)."""
+    _, mha_mod = reference_modules
+    from nvblox_mindmap_tpu.ops.attention import multi_head_attention
+
+    E, H, L, S, B = 24, 4, 3, 7, 2
+    torch.manual_seed(3)
+    ref_attn = mha_mod.MultiheadCustomAttention(E, H, return_kv=True).eval()
+
+    rng = np.random.default_rng(13)
+    q = rng.normal(size=(L, B, E)).astype(np.float32)
+    kv = rng.normal(size=(S, B, E)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, ref_q, ref_k, ref_v = ref_attn(
+            torch.from_numpy(q), torch.from_numpy(kv), torch.from_numpy(kv)
+        )
+    Wq, bq, Wk, bk, Wv, bv, out_w, out_b = _map_attn_weights(ref_attn)
+    q_b = jnp.asarray(np.transpose(q, (1, 0, 2)))
+    kv_b = jnp.asarray(np.transpose(kv, (1, 0, 2)))
+    attn_out, qh, kh, vh = multi_head_attention(
+        q_b @ jnp.asarray(Wq.T) + jnp.asarray(bq),
+        kv_b @ jnp.asarray(Wk.T) + jnp.asarray(bk),
+        kv_b @ jnp.asarray(Wv.T) + jnp.asarray(bv),
+        H,
+        return_kv=True,
+    )
+    ours = np.asarray(attn_out @ jnp.asarray(out_w.T) + jnp.asarray(out_b))
+    np.testing.assert_allclose(
+        ours, np.transpose(ref_out.numpy(), (1, 0, 2)), atol=2e-5
+    )
+    # Reference q/k/v: (B*H, T, head_dim); ours: (B, T, H, head_dim).
+    hd = E // H
+    for ref_t, ours_h, T in ((ref_q, qh, L), (ref_k, kh, S), (ref_v, vh, S)):
+        ref_arr = ref_t.numpy().reshape(B, H, T, hd)
+        np.testing.assert_allclose(
+            np.asarray(ours_h).transpose(0, 2, 1, 3), ref_arr, atol=2e-5
+        )
