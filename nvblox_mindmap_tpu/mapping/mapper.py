@@ -42,6 +42,18 @@ class Mapper:
     def dual(cls, config: MappingConfig) -> "Mapper":
         return cls({MapperId.STATIC: config, MapperId.DYNAMIC: config})
 
+    @classmethod
+    def from_file(cls, path: str, mapper_id: int = MapperId.STATIC) -> "Mapper":
+        """Construct a single-mapper instance from a save_map file
+        (reference: nvblox Mapper(...).load_from_file, convert_maps_usd.py)."""
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        mapper = cls({mapper_id: payload["config"]})
+        mapper.states[mapper_id] = vg.VoxelGridState(
+            **{k: jnp.asarray(v) for k, v in payload["state"].items()}
+        )
+        return mapper
+
     # --- nvblox_torch method surface -----------------------------------------
     def add_depth_frame(self, depth, camera_pose, intrinsics, mask=None,
                         mapper_id: int = MapperId.STATIC):
