@@ -185,3 +185,55 @@ def test_radio_backbone_datagen_training_open_loop(tmp_path):
         ]
     )
     assert np.isfinite(means["distance_m"])
+
+@pytest.mark.slow
+def test_humanoid_training_app_e2e(tmp_path):
+    """Full training app + open loop on a humanoid task (2 grippers,
+    head yaw; drill_in_box -> GR1T2 embodiment + head-turn keyposes)."""
+    from tests.test_humanoid import write_humanoid_demo
+
+    dataset = tmp_path / "humanoid_ds"
+    write_humanoid_demo(str(dataset / "demo_00000"), seed=0)
+    write_humanoid_demo(str(dataset / "demo_00001"), seed=1)
+
+    from nvblox_mindmap_tpu.apps.run_training import main as train_main
+
+    log_dir = str(tmp_path / "logs")
+    train_main(
+        [
+            "--dataset", str(dataset),
+            "--task", "drill_in_box",
+            "--data_type", "mesh",
+            "--feature_type", "rgb",
+            "--demos_train", "0-1",
+            "--embedding_dim", "24",
+            "--diffusion_timesteps", "5",
+            "--fps_subsampling_factor", "4",
+            "--num_vertices_to_sample", "64",
+            "--batch_size", "4",
+            "--batch_size_val", "4",
+            "--train_iters", "4",
+            "--val_freq", "2",
+            "--num_batches_per_test_eval", "1",
+            "--skip_train_val", "1",
+            "--base_log_dir", log_dir,
+            "--seed", "0",
+        ]
+    )
+    ckpts = glob.glob(os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))
+    assert len(ckpts) == 1
+
+    from nvblox_mindmap_tpu.apps.run_open_loop_policy import main as open_loop_main
+
+    means = open_loop_main(
+        [
+            "--dataset", str(dataset),
+            "--task", "drill_in_box",
+            "--demos_open_loop", "0",
+            "--checkpoint", ckpts[0],
+            "--only_sample_keyposes", "1",
+        ]
+    )
+    assert np.isfinite(means["distance_m"])
+    # Head-yaw metric flows through the humanoid pipeline.
+    assert any("yaw" in k for k in means), sorted(means)
