@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -318,7 +319,9 @@ def _bench_train_step_ms() -> float:
     return best
 
 
-def _run_in_subprocess(what: str, retries: int = 2) -> list:
+def _run_in_subprocess(
+    what: str, retries: int = 2, timeout_s: Optional[float] = None
+) -> list:
     """Run one measurement in a clean process (device state isolation).
 
     The TPU tunnel occasionally degrades/fails transiently; retry fresh.
@@ -328,11 +331,16 @@ def _run_in_subprocess(what: str, retries: int = 2) -> list:
 
     last_err = None
     for _ in range(retries + 1):
-        out = subprocess.run(
-            [sys.executable, __file__, "--measure", what],
-            capture_output=True,
-            text=True,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--measure", what],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired as e:
+            last_err = e
+            continue
         if out.returncode == 0:
             try:
                 return [
@@ -365,7 +373,15 @@ if __name__ == "__main__":
         )
         (fusion_hz,) = _run_in_subprocess("fusion")
         (fusion_backbone_hz,) = _run_in_subprocess("fusion_backbone")
-        (train_step_ms,) = _run_in_subprocess("train")
+        # Train-step metric is best-effort: the flagship fwd+bwd program's
+        # first compile can exceed the round budget on a cold cache; the
+        # headline (driver-tracked) metrics must never be lost to it.
+        try:
+            (train_step_ms,) = _run_in_subprocess(
+                "train", retries=0, timeout_s=2700
+            )
+        except RuntimeError:
+            train_step_ms = None
         print(
             json.dumps(
                 {
@@ -382,8 +398,13 @@ if __name__ == "__main__":
                     "fusion_hz_with_backbone_vs_target": round(
                         fusion_backbone_hz / 30.0, 2
                     ),
-                    "train_step_ms_b32": round(train_step_ms, 3),
-                    "train_samples_per_s": round(32000.0 / train_step_ms, 1),
+                    "train_step_ms_b32": (
+                        round(train_step_ms, 3) if train_step_ms else None
+                    ),
+                    "train_samples_per_s": (
+                        round(32000.0 / train_step_ms, 1)
+                        if train_step_ms else None
+                    ),
                 }
             )
         )
