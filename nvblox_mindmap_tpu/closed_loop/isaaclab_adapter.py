@@ -75,6 +75,50 @@ def _to_numpy(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def compare_states(
+    state_from_dataset, runtime_state, action_index: int,
+    tolerance: float = 0.1,
+):
+    """Replay-divergence check for sim-side datagen.
+
+    Compares the recorded episode state against the live sim state per
+    replayed action, element-by-element over the nested
+    {asset_type: {asset_name: {state_name: values}}} layout
+    (reference: isaaclab_utils/isaaclab_datagen_utils.py:40-72; called per
+    action from run_isaaclab_datagen.py:246). A diverged replay marks the
+    demo FAILED_DATAGEN rather than producing silently-wrong training data.
+
+    Returns:
+        (states_matched, log) - log details every mismatched element.
+    """
+    states_matched = True
+    output_log = ""
+    for asset_type in ("articulation", "rigid_object"):
+        for asset_name in runtime_state.get(asset_type, {}):
+            for state_name in runtime_state[asset_type][asset_name]:
+                runtime_vals = _to_numpy(
+                    runtime_state[asset_type][asset_name][state_name]
+                ).squeeze()
+                dataset_vals = _to_numpy(
+                    state_from_dataset[asset_type][asset_name][state_name]
+                )[action_index]
+                if len(dataset_vals) != len(runtime_vals):
+                    raise ValueError(
+                        f"State shape of {state_name} for asset {asset_name} "
+                        "don't match"
+                    )
+                for i in range(len(dataset_vals)):
+                    if abs(float(dataset_vals[i]) - float(runtime_vals[i])) > tolerance:
+                        states_matched = False
+                        output_log += (
+                            f'\tState ["{asset_type}"]["{asset_name}"]'
+                            f'["{state_name}"][{i}] don\'t match\r\n'
+                            f"\t  Dataset:\t{dataset_vals[i]}\r\n"
+                            f"\t  Runtime: \t{runtime_vals[i]}\r\n"
+                        )
+    return states_matched, output_log
+
+
 class IsaacLabEnvironment(EnvironmentBase):
     """EnvironmentBase over an Isaac Lab manager-based env.
 

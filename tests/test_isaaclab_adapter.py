@@ -218,3 +218,42 @@ def test_factory_is_import_guarded():
 
     with pytest.raises(ImportError, match="Isaac Lab"):
         make_isaaclab_environment("cube_stacking", "x.hdf5", "demo_0")
+
+
+def test_compare_states_matches_and_diverges():
+    """Replay-divergence semantics of the reference's compare_states
+    (isaaclab_datagen_utils.py:40-72): nested asset/state layout, per-element
+    0.1 tolerance, dataset indexed by action."""
+    from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import compare_states
+
+    dataset = {
+        "articulation": {
+            "robot": {"joint_position": np.stack([np.zeros(3), np.ones(3)])}
+        },
+        "rigid_object": {
+            "cube": {"root_pose": np.stack([np.zeros(7), np.full(7, 0.5)])}
+        },
+    }
+    runtime_ok = {
+        "articulation": {"robot": {"joint_position": np.ones(3) + 0.05}},
+        "rigid_object": {"cube": {"root_pose": np.full((1, 7), 0.45)}},
+    }
+    matched, log = compare_states(dataset, runtime_ok, action_index=1)
+    assert matched and log == ""
+
+    runtime_bad = {
+        "articulation": {"robot": {"joint_position": np.ones(3)}},
+        "rigid_object": {"cube": {"root_pose": np.full(7, 0.9)}},
+    }
+    matched, log = compare_states(dataset, runtime_bad, action_index=1)
+    assert not matched
+    assert '["rigid_object"]["cube"]["root_pose"]' in log
+    assert "Dataset:" in log and "Runtime:" in log
+
+    with pytest.raises(ValueError):
+        compare_states(
+            dataset,
+            {"articulation": {"robot": {"joint_position": np.zeros(5)}},
+             "rigid_object": {}},
+            action_index=0,
+        )
