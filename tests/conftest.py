@@ -21,6 +21,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite's wall-clock is dominated by CPU
+# XLA compiles of model-sized programs; repeat runs (local iteration, CI
+# retries) hit the cache and run several-fold faster. Keyed on jaxlib
+# version + flags, so it never serves stale executables.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compilation_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 
 def pytest_addoption(parser):
     # Regenerate stored regression baselines (reference:
