@@ -95,6 +95,65 @@ class GroundTruthPolicy(PolicyBase):
         return [goal]
 
 
+class GoalPolicy(PolicyBase):
+    """Executes a hardcoded sequence of goal policy states
+    (reference: closed_loop/policies/goal_policy.py:24-71).
+
+    Args:
+        goal_states: list of flat policy-state arrays (embodiment codec).
+        repeat: cycle the sequence when exhausted; otherwise emit [] once done
+            (the reference returns [None]; our runner treats [] as no-goal).
+    """
+
+    def __init__(self, goal_states: List[np.ndarray], repeat: bool = True):
+        self.goal_states = [np.asarray(g, np.float32) for g in goal_states]
+        self.repeat = repeat
+        self.reset()
+
+    def get_new_goal(self, env: EnvironmentBase) -> List[np.ndarray]:
+        if self.current_goal_idx == len(self.goal_states):
+            if not self.repeat:
+                return []
+            self.current_goal_idx = 0
+        goal = self.goal_states[self.current_goal_idx]
+        self.current_goal_idx += 1
+        return [goal]
+
+    def reset(self) -> None:
+        self.current_goal_idx = 0
+
+
+def get_dummy_policy_for_embodiment(embodiment_type) -> GoalPolicy:
+    """Test policy with the reference's hardcoded goal sequences
+    (goal_policy.py:74-139): the arm oscillates along y in front of the
+    robot; the humanoid moves both hands up/down while turning the head.
+    Policy states use the flat embodiment codecs
+    (arm: pos3+quat4+closedness; humanoid: left 8 + right 8 + head yaw)."""
+    from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
+
+    if embodiment_type == EmbodimentType.ARM:
+        goals = [
+            np.asarray([0.6, 0.25, 0.25, 0, 1, 0, 0, 0.0], np.float32),
+            np.asarray([0.6, 0.05, 0.25, 0, 1, 0, 0, 0.0], np.float32),
+        ]
+    elif embodiment_type == EmbodimentType.HUMANOID:
+        left = [-0.2236, 0.2580, 1.0964, 0.5039, 0.4955, -0.5064, 0.4941]
+        right = [0.0605, 0.2517, 1.1063, 0.4773, 0.5318, -0.4857, 0.5034]
+        up = np.asarray([0, 0, 0.2, 0, 0, 0, 0], np.float64)
+        fwd_up = np.asarray([0.3, 0, 0.2, 0, 0, 0, 0], np.float64)
+        goals = [
+            np.concatenate([left, [1.0], right, [0.0], [-1.57]]).astype(
+                np.float32
+            ),
+            np.concatenate(
+                [np.add(left, up), [0.0], np.add(right, fwd_up), [1.0], [1.57]]
+            ).astype(np.float32),
+        ]
+    else:
+        raise ValueError(f"Invalid embodiment type: {embodiment_type}")
+    return GoalPolicy(goal_states=goals)
+
+
 class NvbloxDiffuserActorPolicy(PolicyBase):
     """Live mapping + diffusion policy (reference:
     closed_loop/policies/nvblox_diffuser_actor_policy.py)."""

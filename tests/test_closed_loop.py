@@ -190,3 +190,63 @@ def test_live_policy_smoke():
     assert np.all(np.isfinite(g))
     # Prediction lies in the workspace bounds.
     assert np.all(g[:3] >= bounds[0] - 1e-3) and np.all(g[:3] <= bounds[1] + 1e-3)
+
+
+def test_goal_policy_cycles_and_dummy_sequences():
+    """GoalPolicy repeat/exhaust semantics + the reference's hardcoded dummy
+    goals (reference: closed_loop/policies/goal_policy.py:24-139)."""
+    from nvblox_mindmap_tpu.closed_loop.policies import (
+        GoalPolicy,
+        get_dummy_policy_for_embodiment,
+    )
+    from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
+
+    a = np.asarray([0.1] * 8, np.float32)
+    b = np.asarray([0.2] * 8, np.float32)
+    policy = GoalPolicy([a, b], repeat=True)
+    got = [policy.get_new_goal(None)[0] for _ in range(4)]
+    np.testing.assert_array_equal(got[0], a)
+    np.testing.assert_array_equal(got[2], a)  # cycled
+    policy.reset()
+    np.testing.assert_array_equal(policy.get_new_goal(None)[0], a)
+
+    once = GoalPolicy([a], repeat=False)
+    assert len(once.get_new_goal(None)) == 1
+    assert once.get_new_goal(None) == []
+
+    arm = get_dummy_policy_for_embodiment(EmbodimentType.ARM)
+    g0 = arm.get_new_goal(None)[0]
+    g1 = arm.get_new_goal(None)[0]
+    assert g0.shape == (8,)
+    np.testing.assert_allclose(g0[1] - g1[1], 0.2)  # y oscillation
+
+    hum = get_dummy_policy_for_embodiment(EmbodimentType.HUMANOID)
+    h0 = hum.get_new_goal(None)[0]
+    h1 = hum.get_new_goal(None)[0]
+    assert h0.shape == (17,)
+    np.testing.assert_allclose(h0[16], -1.57)  # head turns
+    np.testing.assert_allclose(h1[16], 1.57)
+    np.testing.assert_allclose(h1[2] - h0[2], 0.2, atol=1e-6)  # left hand rises
+    assert h0[7] == 1.0 and h1[7] == 0.0  # left closedness toggles
+
+    with pytest.raises(ValueError):
+        get_dummy_policy_for_embodiment("quadruped")
+
+
+def test_goal_policy_drives_kinematic_env():
+    """A dummy GoalPolicy drives the kinematic arm env through the runner."""
+    from nvblox_mindmap_tpu.closed_loop.policies import GoalPolicy
+
+    emb = ArmEmbodiment()
+    goals = [arm_state([0.3, 0.0, 0.3]), arm_state([0.5, 0.2, 0.4])]
+    env = KinematicEnvironment(
+        emb, arm_state([0.0, 0.0, 0.3]),
+        waypoints=[g[:3] for g in goals], max_step_m=0.05,
+    )
+    policy = GoalPolicy(goals, repeat=False)
+    evaluator = BasicEvaluator()
+    evaluator.start_demo("demo_0")
+    success = run_one_episode(
+        env, policy, emb, evaluator, ClosedLoopConfig(max_num_steps=100)
+    )
+    assert success
