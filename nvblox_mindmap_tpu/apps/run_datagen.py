@@ -91,11 +91,17 @@ def process_demo(
                 include_dynamic=include_dynamic,
             )
     if save_serialized_map:
-        mapper.save_map(os.path.join(demo_path, "map.nvblx.pkl"),
-                        MapperId.STATIC)
+        # Reference naming (*.nvblox_map_static.nvblx) so downstream tooling
+        # (scripts/convert_maps_usd.py default pattern) finds them; one map
+        # per demo (end state) rather than per frame - the per-frame history
+        # is already captured by the vertex-feature meshes.
+        mapper.save_map(
+            os.path.join(demo_path, "nvblox_map_static.nvblx"),
+            MapperId.STATIC,
+        )
         if include_dynamic:
             mapper.save_map(
-                os.path.join(demo_path, "map_dynamic.nvblx.pkl"),
+                os.path.join(demo_path, "nvblox_map_dynamic.nvblx"),
                 MapperId.DYNAMIC,
             )
     # Mark success if no outcome file exists yet.

@@ -205,6 +205,23 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
 
             feature_fn = jax.jit(rgb_passthrough)
         self.feature_fn = feature_fn
+        # Fail loudly on feature-dim mismatch: the checkpoint's reconstruction
+        # encoder input width must equal the live mapper's feature dim, or
+        # inference dies later with an opaque flax shape error.
+        try:
+            trained_dim = int(
+                params["encoder"]["reconstruction_encoder"]["kernel"].shape[0]
+            )
+        except (KeyError, TypeError):
+            trained_dim = None
+        if trained_dim is not None and trained_dim != mapping_config.feature_dim:
+            raise ValueError(
+                f"checkpoint was trained on {trained_dim}-d vertex features "
+                f"but the mapper is configured for "
+                f"{mapping_config.feature_dim}-d (feature_type mismatch "
+                "between training data and the live mapping feature "
+                "extractor - check --feature_type / --backbone_weights)"
+            )
 
     # --- per-sim-step map update ---------------------------------------------
     def step(self, env: EnvironmentBase) -> None:

@@ -250,3 +250,40 @@ def test_goal_policy_drives_kinematic_env():
         env, policy, emb, evaluator, ClosedLoopConfig(max_num_steps=100)
     )
     assert success
+
+
+def test_live_policy_feature_dim_mismatch_is_loud():
+    """A checkpoint trained on N-d vertex features + a mapper configured for
+    a different feature dim must fail at construction with a clear error,
+    not later with an opaque flax shape error."""
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.closed_loop.policies import NvbloxDiffuserActorPolicy
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping.constants import (
+        MappingConfig,
+        get_workspace_bounds,
+    )
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+
+    cfg = DiffuserActorConfig(
+        embedding_dim=24, num_attn_heads=4, data_type="mesh",
+        feature_type=FeatureExtractorType.RGB, diffusion_timesteps=4,
+    )
+    params = {
+        "encoder": {
+            "reconstruction_encoder": {"kernel": jnp.zeros((8, 24))}
+        }
+    }
+    with pytest.raises(ValueError, match="8-d vertex features"):
+        NvbloxDiffuserActorPolicy(
+            DiffuserActor(cfg),
+            params,
+            ArmEmbodiment(),
+            MappingConfig.for_task(Tasks.CUBE_STACKING, feature_dim=3),
+            get_workspace_bounds(Tasks.CUBE_STACKING),
+        )

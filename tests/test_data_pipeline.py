@@ -55,11 +55,19 @@ def write_arm_demo(demo_dir, n_frames=N_FRAMES, n_vertices=300, seed=0,
         np.save(os.path.join(demo_dir, f"{i}.robot_state.npy"), state)
         rgb = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
         imageio.imwrite(os.path.join(demo_dir, f"{i}.wrist_rgb.png"), rgb)
-        depth = (rng.uniform(0.5, 2.0, size=(32, 32)) * 1000).astype(np.uint16)
+        # Camera looks straight DOWN from z=0.9 at a gently rippled tabletop
+        # ~0.85 m below (surface z ~ 0.05, inside the task AABB), so fusing
+        # these frames produces a real TSDF surface with features - not an
+        # empty map (verify: a wall outside the AABB integrates nothing).
+        yy, xx = np.mgrid[0:32, 0:32]
+        surface = 0.85 + 0.03 * np.sin(xx / 5.0) * np.cos(yy / 4.0)
+        depth_m = surface + rng.normal(0.0, 0.002, size=(32, 32))
+        depth = (depth_m * 1000).astype(np.uint16)
         imageio.imwrite(os.path.join(demo_dir, f"{i}.wrist_depth.png"), depth)
         np.save(
             os.path.join(demo_dir, f"{i}.wrist_pose.npy"),
-            np.asarray([0.5, 0, 0.8, 1, 0, 0, 0], dtype=np.float32),
+            # wxyz (0,1,0,0): 180 deg about x - camera +z maps to world -z.
+            np.asarray([0.3, 0, 0.9, 0, 1, 0, 0], dtype=np.float32),
         )
         np.save(
             os.path.join(demo_dir, f"{i}.wrist_intrinsics.npy"),

@@ -116,3 +116,35 @@ def test_datagen_include_dynamic_end_to_end(tmp_path):
     )
     meshes = sorted(glob.glob(str(demo / "*.nvblox_vertex_features.zst")))
     assert len(meshes) == 4
+
+
+def test_datagen_serialized_map_feeds_usd_converter(tmp_path):
+    """--save_serialized_nvblox_map_to_disk writes reference-named maps that
+    scripts/convert_maps_usd.py picks up with its default pattern."""
+    root = tmp_path / "raw"
+    demo = root / "demo_00000"
+    write_arm_demo(str(demo), seed=0)
+    for p in glob.glob(str(demo / "*.nvblox_vertex_features.zst")):
+        os.remove(p)
+
+    from nvblox_mindmap_tpu.apps.run_datagen import main as datagen_main
+
+    datagen_main(
+        [
+            "--task", "cube_stacking",
+            "--output_dir", str(root),
+            "--demos_datagen", "0",
+            "--feature_type", "rgb",
+            "--voxel_size_m", "0.04",
+            "--max_num_steps", "4",
+            "--save_serialized_nvblox_map_to_disk", "1",
+        ]
+    )
+    map_path = demo / "nvblox_map_static.nvblx"
+    assert map_path.exists()
+
+    from nvblox_mindmap_tpu.scripts.convert_maps_usd import main as usd_main
+
+    usd_main(["--input_dir", str(demo)])
+    usda = demo / "nvblox_map_static.usda"
+    assert usda.read_text().startswith("#usda 1.0")
