@@ -96,12 +96,14 @@ def compare_states(
     for asset_type in ("articulation", "rigid_object"):
         for asset_name in runtime_state.get(asset_type, {}):
             for state_name in runtime_state[asset_type][asset_name]:
+                # reshape(-1), not squeeze(): a single-element state vector
+                # must stay 1-d (len() of a squeezed 0-d array raises).
                 runtime_vals = _to_numpy(
                     runtime_state[asset_type][asset_name][state_name]
-                ).squeeze()
+                ).reshape(-1)
                 dataset_vals = _to_numpy(
                     state_from_dataset[asset_type][asset_name][state_name]
-                )[action_index]
+                )[action_index].reshape(-1)
                 if len(dataset_vals) != len(runtime_vals):
                     raise ValueError(
                         f"State shape of {state_name} for asset {asset_name} "

@@ -111,6 +111,8 @@ class GoalPolicy(PolicyBase):
         self.reset()
 
     def get_new_goal(self, env: EnvironmentBase) -> List[np.ndarray]:
+        if not self.goal_states:
+            return []
         if self.current_goal_idx == len(self.goal_states):
             if not self.repeat:
                 return []
@@ -208,12 +210,17 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         # Fail loudly on feature-dim mismatch: the checkpoint's reconstruction
         # encoder input width must equal the live mapper's feature dim, or
         # inference dies later with an opaque flax shape error.
-        try:
-            trained_dim = int(
-                params["encoder"]["reconstruction_encoder"]["kernel"].shape[0]
-            )
-        except (KeyError, TypeError):
-            trained_dim = None
+        trained_dim = None
+        for enc_name in ("reconstruction_encoder", "image_feature_encoder"):
+            # use_shared_feature_encoder routes mesh features through the
+            # image encoder instead (models/encoder.py) - check either.
+            try:
+                trained_dim = int(
+                    params["encoder"][enc_name]["kernel"].shape[0]
+                )
+                break
+            except (KeyError, TypeError):
+                continue
         if trained_dim is not None and trained_dim != mapping_config.feature_dim:
             raise ValueError(
                 f"checkpoint was trained on {trained_dim}-d vertex features "

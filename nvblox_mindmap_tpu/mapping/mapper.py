@@ -47,11 +47,9 @@ class Mapper:
         """Construct a single-mapper instance from a save_map file
         (reference: nvblox Mapper(...).load_from_file, convert_maps_usd.py)."""
         with open(path, "rb") as f:
-            payload = pickle.load(f)
-        mapper = cls({mapper_id: payload["config"]})
-        mapper.states[mapper_id] = vg.VoxelGridState(
-            **{k: jnp.asarray(v) for k, v in payload["state"].items()}
-        )
+            config = pickle.load(f)["config"]
+        mapper = cls({mapper_id: config})
+        mapper.load_from_file(path, mapper_id)
         return mapper
 
     # --- nvblox_torch method surface -----------------------------------------

@@ -110,6 +110,11 @@ def multi_head_attention(
     vh = v.reshape(B, S, num_heads, head_dim)
 
     has_memory = gate_logits is not None and k_mem is not None and v_mem is not None
+    if (k_mem is not None or v_mem is not None) and not has_memory:
+        raise ValueError(
+            "k_mem/v_mem require gate_logits (module: gate_attn=True) and "
+            "both tensors - memory would otherwise be silently ignored"
+        )
     if (
         impl == "flash"
         and not need_weights
@@ -138,7 +143,16 @@ def multi_head_attention(
         # Slots compete for keys: normalize over queries first, then make
         # each query's weights sum to one over keys.
         weights = jax.nn.softmax(logits, axis=-2) + 1e-8
-        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        if key_padding_mask is not None:
+            # A fully -1e9 key *column* still softmaxes to uniform over the
+            # query axis (the reference NaNs here); zero masked keys before
+            # the key-axis renormalization so padding cannot leak.
+            weights = jnp.where(
+                key_padding_mask[:, None, None, :], 0.0, weights
+            )
+        weights = weights / jnp.maximum(
+            jnp.sum(weights, axis=-1, keepdims=True), 1e-20
+        )
     else:
         weights = jax.nn.softmax(logits, axis=-1)
     outh = jnp.einsum("bhls,bshd->blhd", weights, vh)

@@ -43,9 +43,12 @@ class PCASpecification:
 def get_pca_specification(features: np.ndarray) -> PCASpecification:
     """Fit the PCA color basis on (N, C) features.
 
-    Zero (never-integrated) features are excluded from the fit and the
-    normalization bounds are the 1%/99% quantiles, matching the reference
-    (paper/utils/utils.py:146-166).
+    Zero (never-integrated) features are excluded from the *basis* fit; the
+    1%/99% display bounds are then taken over ALL rows' projections - both
+    exactly as the reference does (paper/utils/utils.py:146-166: pca_lowrank
+    on the nonzero rows, quantile over `features @ projection`). Callers that
+    want zero rows out of the bounds too should filter before calling (the
+    surface-voxel extractors here already drop zero-feature voxels).
     """
     features = np.asarray(features, dtype=np.float64)
     assert features.ndim == 2

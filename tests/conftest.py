@@ -27,7 +27,12 @@ jax.config.update("jax_platforms", "cpu")
 # version + flags, so it never serves stale executables.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compilation_cache"),
+    os.environ.get(
+        "JAX_TEST_CACHE_DIR",
+        # Per-user path: a world-shared fixed /tmp dir would hit permission
+        # errors on multi-user hosts and load executables other users wrote.
+        f"/tmp/jax_test_compilation_cache_{os.getuid()}",
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 

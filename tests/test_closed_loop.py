@@ -287,3 +287,10 @@ def test_live_policy_feature_dim_mismatch_is_loud():
             MappingConfig.for_task(Tasks.CUBE_STACKING, feature_dim=3),
             get_workspace_bounds(Tasks.CUBE_STACKING),
         )
+
+
+def test_goal_policy_empty_sequence():
+    from nvblox_mindmap_tpu.closed_loop.policies import GoalPolicy
+
+    assert GoalPolicy([], repeat=True).get_new_goal(None) == []
+    assert GoalPolicy([], repeat=False).get_new_goal(None) == []

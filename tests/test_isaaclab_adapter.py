@@ -257,3 +257,19 @@ def test_compare_states_matches_and_diverges():
              "rigid_object": {}},
             action_index=0,
         )
+
+
+def test_compare_states_single_element_vectors():
+    """1-element state vectors must not crash (squeeze would make them 0-d)."""
+    from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import compare_states
+
+    dataset = {
+        "articulation": {"grip": {"width": np.asarray([[0.04], [0.02]])}},
+        "rigid_object": {},
+    }
+    runtime = {
+        "articulation": {"grip": {"width": np.asarray([[0.021]])}},
+        "rigid_object": {},
+    }
+    matched, log = compare_states(dataset, runtime, action_index=1)
+    assert matched and log == ""

@@ -143,3 +143,38 @@ def test_pose_to_homo_translation_rotation():
     np.testing.assert_allclose(T[0, 3], [0, 0, 0, 1], atol=1e-6)
     # Rotation of x-axis by 90deg about z -> y-axis.
     np.testing.assert_allclose(T[0, :3, 0], [0, 1, 0], atol=1e-6)
+
+
+def test_slot_competition_mask_excludes_padded_keys():
+    """Masked keys carry zero weight under slot competition (the reference
+    NaNs on this combination; we zero the masked columns before the key-axis
+    renormalization)."""
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, 4, 8)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(2, 6, 8)), jnp.float32)
+    mask = np.zeros((2, 6), bool)
+    mask[:, -2:] = True
+    out, w = multi_head_attention(
+        q, kv, kv, 2, key_padding_mask=jnp.asarray(mask), slot_competition=True
+    )
+    w = np.asarray(w)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(w[..., -2:], 0.0, atol=1e-12)
+    np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-5)
+
+
+def test_memory_without_gate_is_loud():
+    import jax.numpy as jnp
+    import pytest
+
+    from nvblox_mindmap_tpu.ops.attention import multi_head_attention
+
+    x = jnp.zeros((1, 2, 8))
+    with pytest.raises(ValueError, match="gate_logits"):
+        multi_head_attention(x, x, x, 2, k_mem=x, v_mem=x)
+    with pytest.raises(ValueError, match="gate_logits"):
+        multi_head_attention(x, x, x, 2, k_mem=x, gate_logits=jnp.zeros(2))
