@@ -142,8 +142,19 @@ def main(argv=None, environment: str = "kinematic"):
     # success term (reference: closed_loop_policy.py:43-48 evaluator map).
     from nvblox_mindmap_tpu.closed_loop.evaluators import make_evaluator_for_task
 
-    probe_env = make_env(demo_paths[0]) if demo_paths else None
-    has_object_state = bool(probe_env and probe_env.get_object_poses())
+    # The probe env is reused for the first attempt (the runner resets each
+    # episode anyway) instead of being constructed and thrown away.
+    probe_cache = {}
+    if demo_paths:
+        probe_cache[demo_paths[0]] = make_env(demo_paths[0])
+    has_object_state = bool(
+        demo_paths and probe_cache[demo_paths[0]].get_object_poses()
+    )
+    inner_make_env = make_env
+
+    def make_env(demo_path):  # noqa: F811 - wrap to serve the probe once
+        cached = probe_cache.pop(demo_path, None)
+        return cached if cached is not None else inner_make_env(demo_path)
     evaluator = make_evaluator_for_task(
         args.task, eval_file_path=args.eval_file_path,
         env_has_object_state=has_object_state,

@@ -34,21 +34,33 @@ class EvaluatorBase:
         self._demo_name = demo_name
         self._retry_idx = retry_idx
 
+    @property
+    def current_success(self) -> bool:
+        """The evaluator's live success judgment for the running episode."""
+        return self._current_success
+
     def evaluate_step(self, env: EnvironmentBase):
         if env.is_success():
             self._current_success = True
 
-    def finalize_demo(self, demo_name: str,
-                      env: Optional[EnvironmentBase] = None) -> bool:
+    def _record_attempt(self, demo_name: str, success: bool,
+                        extras: Optional[Dict] = None) -> bool:
+        """Shared finalize bookkeeping: best-over-retries outcome, one
+        eval_dict entry per attempt, eval-file refresh."""
+        self._current_success = success
         # Keep the best outcome over retries.
         prev = self.demo_outcomes.get(demo_name, False)
-        self.demo_outcomes[demo_name] = prev or self._current_success
-        self.eval_dict[f"{demo_name}_{self._retry_idx}"] = {
-            "demo": demo_name,
-            "success": bool(self._current_success),
-        }
+        self.demo_outcomes[demo_name] = prev or success
+        entry = {"demo": demo_name, "success": bool(success)}
+        if extras:
+            entry.update(extras)
+        self.eval_dict[f"{demo_name}_{self._retry_idx}"] = entry
         self.maybe_write_eval_file()
-        return self._current_success
+        return success
+
+    def finalize_demo(self, demo_name: str,
+                      env: Optional[EnvironmentBase] = None) -> bool:
+        return self._record_attempt(demo_name, self._current_success)
 
     def success_rate(self) -> float:
         if not self.demo_outcomes:
@@ -167,7 +179,10 @@ class CubeStackingEvaluator(ArmEvaluatorBase):
 
     def _num_stacked_cubes(self, cube_positions: np.ndarray) -> int:
         """Cubes on the highest stack, judged by pairwise z separation
-        (reference :273-304)."""
+        (reference :273-304). Deliberately z-only, matching the reference
+        heuristic exactly - physics guarantees resting cubes at distinct
+        heights are supported by something; a synthetic env that floats
+        cubes at different z anywhere in the scene would over-count."""
         best = 0
         z = cube_positions[:, 2]
         for i in range(self.num_cubes):
@@ -202,12 +217,7 @@ class CubeStackingEvaluator(ArmEvaluatorBase):
         if env is not None:
             self.evaluate_step(env)
         success = self.max_num_stacked_cubes_with_open_gripper == self.num_cubes
-        self._current_success = success
-        prev = self.demo_outcomes.get(demo_name, False)
-        self.demo_outcomes[demo_name] = prev or success
-        self.eval_dict[f"{demo_name}_{self._retry_idx}"] = {
-            "demo": demo_name,
-            "success": bool(success),
+        return self._record_attempt(demo_name, success, {
             "num_stacked_cubes": int(self.current_num_stacked_cubes),
             "cubes_have_been_lifted": int(self.cubes_have_been_lifted.sum()),
             "cubes_have_been_moved": int(self.cubes_have_been_moved.sum()),
@@ -215,29 +225,31 @@ class CubeStackingEvaluator(ArmEvaluatorBase):
             "max_num_stacked_cubes_with_open_gripper": int(
                 self.max_num_stacked_cubes_with_open_gripper
             ),
-        }
-        self.maybe_write_eval_file()
-        return success
+        })
 
     def summarize_demos(self) -> Dict:
-        demos = [v for k, v in self.eval_dict.items()
-                 if k not in ("summary", "metadata")]
-        n = max(len(demos), 1)
+        # Per-attempt means (retries included, like the reference's count
+        # dicts); num_demos counts unique demos so it is consistent with
+        # success_rate, with num_attempts reported alongside.
+        attempts = [v for k, v in self.eval_dict.items()
+                    if k not in ("summary", "metadata")]
+        n = max(len(attempts), 1)
         summary = {
-            "num_demos": len(demos),
+            "num_demos": len(self.demo_outcomes),
+            "num_attempts": len(attempts),
             "success_rate": self.success_rate(),
             "mean_num_lifted_cubes":
-                sum(d["cubes_have_been_lifted"] for d in demos) / n,
+                sum(d["cubes_have_been_lifted"] for d in attempts) / n,
             "mean_num_moved_cubes":
-                sum(d["cubes_have_been_moved"] for d in demos) / n,
+                sum(d["cubes_have_been_moved"] for d in attempts) / n,
             "mean_num_stacked_cubes":
-                sum(d["max_num_stacked_cubes"] for d in demos) / n,
+                sum(d["max_num_stacked_cubes"] for d in attempts) / n,
             "mean_num_stacked_cubes_with_open_gripper":
                 sum(d["max_num_stacked_cubes_with_open_gripper"]
-                    for d in demos) / n,
+                    for d in attempts) / n,
             "full_stack_at_demo_end_rate":
                 sum(d["num_stacked_cubes"] == self.num_cubes
-                    for d in demos) / n,
+                    for d in attempts) / n,
             "outcomes": {k: bool(v) for k, v in self.demo_outcomes.items()},
         }
         self.eval_dict["summary"] = summary
@@ -319,22 +331,15 @@ class MugInDrawerEvaluator(ArmEvaluatorBase):
                       env: Optional[EnvironmentBase] = None) -> bool:
         if env is not None:
             self.evaluate_step(env)
-        success = self.mug_has_been_released_in_drawer
-        self._current_success = success
-        prev = self.demo_outcomes.get(demo_name, False)
-        self.demo_outcomes[demo_name] = prev or success
-        self.eval_dict[f"{demo_name}_{self._retry_idx}"] = {
-            "demo": demo_name,
-            "success": bool(success),
-            "mug_has_been_lifted": bool(self.mug_has_been_lifted),
-            "mug_has_been_moved": bool(self.mug_has_been_moved),
-            "mug_has_been_in_drawer": bool(self.mug_has_been_in_drawer),
-            "mug_has_been_in_wrong_drawer": bool(
-                self.mug_has_been_in_wrong_drawer
-            ),
-        }
-        self.maybe_write_eval_file()
-        return success
+        return self._record_attempt(
+            demo_name, self.mug_has_been_released_in_drawer, {
+                "mug_has_been_lifted": bool(self.mug_has_been_lifted),
+                "mug_has_been_moved": bool(self.mug_has_been_moved),
+                "mug_has_been_in_drawer": bool(self.mug_has_been_in_drawer),
+                "mug_has_been_in_wrong_drawer": bool(
+                    self.mug_has_been_in_wrong_drawer
+                ),
+            })
 
 
 def make_evaluator_for_task(task, eval_file_path: Optional[str] = None,

@@ -92,9 +92,12 @@ def run_one_episode(
         env.step(current_goal)
         steps_to_goal += 1
         evaluator.evaluate_step(env)
-        if env.is_success():
+        # Early exit on the sim success term OR the task evaluator's own
+        # judgment (task evaluators can succeed on envs whose is_success()
+        # never fires, e.g. object-state-only environments).
+        if env.is_success() or evaluator.current_success:
             break
-    return env.is_success()
+    return env.is_success() or evaluator.current_success
 
 
 def run_closed_loop_policy(
@@ -112,8 +115,11 @@ def run_closed_loop_policy(
             env = make_env(demo_name)
             policy = make_policy(demo_name)
             evaluator.start_demo(demo_name, env, retry_idx=attempt)
-            success = run_one_episode(env, policy, embodiment, evaluator, config)
-            evaluator.finalize_demo(demo_name, env)
+            run_one_episode(env, policy, embodiment, evaluator, config)
+            # The evaluator's finalized verdict decides logging and the
+            # retry break - it is the task-semantics judgment, which can
+            # disagree with the raw env success term in either direction.
+            success = evaluator.finalize_demo(demo_name, env)
             logger.info(
                 "Demo %s attempt %d: %s",
                 demo_name,

@@ -217,7 +217,11 @@ class HumanoidAction:
         assert self.q_wxyz_W_RightEef.shape == (4,)
         assert self.right_hand_joint_states.shape == (NUM_HAND_JOINTS,)
         assert self.head_yaw_rad.shape == (1,)
-        assert -np.pi <= self.head_yaw_rad[0] < np.pi
+        # Wrap into [-pi, pi): the yaw comes from unclamped model regression;
+        # a value of e.g. 3.15 must not kill a live episode with an assert.
+        self.head_yaw_rad = np.asarray(
+            np.mod(self.head_yaw_rad + np.pi, 2 * np.pi) - np.pi, np.float32
+        )
 
     @staticmethod
     def state_size() -> int:

@@ -591,10 +591,14 @@ def _surface_nets_device_jit(tsdf, weight, config: MappingConfig,
     ).astype(jnp.int32)
     cells = jnp.where(vertex_valid[:, None], cells, 0)
 
-    # Dense cell -> compact vertex id (invalid = -1).
+    # Dense cell -> compact vertex id (invalid = -1). Padded sel entries are
+    # fill_value=0 and would scatter a -1 onto cell 0's real id (duplicate
+    # scatter indices have an undefined winner); route them out of bounds
+    # instead, where mode="drop" discards them.
     vid = jnp.full(CX * CY * CZ, -1, dtype=jnp.int32)
-    vid = vid.at[sel].set(
-        jnp.where(vertex_valid, jnp.arange(max_vertices, dtype=jnp.int32), -1)
+    scatter_idx = jnp.where(vertex_valid, sel, CX * CY * CZ)
+    vid = vid.at[scatter_idx].set(
+        jnp.arange(max_vertices, dtype=jnp.int32), mode="drop"
     )
     vid = vid.reshape(CX, CY, CZ)
 

@@ -52,13 +52,15 @@ def main(argv=None):
     parser.add_argument("--frame_rate", type=int, default=20)
     args = parser.parse_args(argv)
 
+    def frame_key(p):
+        # Digit-prefixed frames sort numerically, anything else after them
+        # lexically - the key must be one comparable type (a mixed int/str
+        # key makes sorted() raise on directories with stray files).
+        stem = os.path.basename(p).split(".")[0]
+        return (0, int(stem), "") if stem.isdigit() else (1, 0, stem)
+
     paths = sorted(
-        glob.glob(os.path.join(args.depth_dir, args.pattern)),
-        key=lambda p: (
-            int(os.path.basename(p).split(".")[0])
-            if os.path.basename(p).split(".")[0].isdigit()
-            else os.path.basename(p)
-        ),
+        glob.glob(os.path.join(args.depth_dir, args.pattern)), key=frame_key
     )
     if not paths:
         paths = sorted(glob.glob(os.path.join(args.depth_dir, "frame*.npy")))

@@ -45,7 +45,16 @@ def load_checkpoint_file(
 ) -> Tuple[Any, Any, int, Optional[float]]:
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    params = serialization.from_bytes(params_template, payload["params"])
+    try:
+        params = serialization.from_bytes(params_template, payload["params"])
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint {path} does not match the model built from its "
+            "frozen args - the architecture defaults may have changed since "
+            "it was written. Known case: checkpoints from before ViT prefix "
+            "tokens existed need --feature_num_prefix_tokens 0. "
+            f"Restore error: {e}"
+        ) from e
     opt_state = (
         pickle.loads(payload["opt_state"]) if opt_state_template is not None else None
     )

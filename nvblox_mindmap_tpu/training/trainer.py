@@ -516,6 +516,11 @@ def _sample_normalized(model, variables, prepared, rng, cfg,
     L, G = cfg.prediction_horizon, cfg.ngrippers
     timesteps = pos_sched.timesteps(num_inference_steps)
     T = timesteps.shape[0]
+    # Each reduced-schedule step must jump t -> t - step_ratio (as the
+    # production sampler does, models/diffuser_actor.py:397-417); stepping
+    # t -> t-1 with only T steps would leave (1 - T/train_steps) of the
+    # noise in place.
+    step_ratio = cfg.diffusion_timesteps // T
     all_keys = jax.random.split(rng, T + 1)
     init_key, step_keys = all_keys[0], all_keys[1:]
     trajectory = jax.random.normal(init_key, (B, L, G, 9), dtype=jnp.float32)
@@ -527,8 +532,11 @@ def _sample_normalized(model, variables, prepared, rng, cfg,
             variables, traj, t_batch, fixed, method=DiffuserActor.denoise
         )
         pk, rk = jax.random.split(key)
-        pos = pos_sched.step(pred[..., :3], t, traj[..., :3], key=pk)
-        rot = rot_sched.step(pred[..., 3:9], t, traj[..., 3:9], key=rk)
+        prev_t = t - step_ratio
+        pos = pos_sched.step(pred[..., :3], t, traj[..., :3], key=pk,
+                             prev_t=prev_t)
+        rot = rot_sched.step(pred[..., 3:9], t, traj[..., 3:9], key=rk,
+                             prev_t=prev_t)
         return jnp.concatenate([pos, rot], axis=-1), (pred[..., 9:], head_yaw, weights)
 
     trajectory, (openness_seq, head_yaw_seq, weights_seq) = jax.lax.scan(

@@ -238,3 +238,55 @@ def test_trainer_orbax_backend(tmp_path):
         jax.tree_util.tree_leaves(p_t), jax.tree_util.tree_leaves(params2)
     ):
         np.testing.assert_array_equal(a, b)
+
+
+def test_eval_sampler_reduced_schedule_fully_denoises(tmp_path):
+    """Regression: the DDIM-10 val sampler must jump t -> t - step_ratio
+    like the production sampler (models/diffuser_actor.py:397-417). With the
+    t -> t-1 bug, 10 steps only remove 10% of the schedule and the output is
+    ~init noise (correlation > 0.9)."""
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        prepare_inputs,
+    )
+    from nvblox_mindmap_tpu.training.trainer import _sample_normalized
+
+    model_cfg, _ = small_configs(tmp_path, diffusion_timesteps=50)
+    model = DiffuserActor(model_cfg)
+    rng = np.random.default_rng(0)
+    batch = random_batch(rng, batch_size=2)
+    bounds = np.asarray([[-0.4, -0.9, 0.1], [1.4, 0.9, 1.9]], np.float32)
+    prepared = prepare_inputs(
+        jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if x is not None else None,
+            batch, is_leaf=lambda x: x is None,
+        ),
+        jnp.asarray(bounds),
+        model_cfg,
+    )
+    noisy = jnp.zeros((2, 1, 1, 9))
+    ts = jnp.zeros((2,), dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+
+    key = jax.random.PRNGKey(7)
+    traj10, _, _ = _sample_normalized(
+        model, variables, prepared, key, model_cfg,
+        num_inference_steps=5, scheduler_kind="ddim",
+    )
+    # The eval sampler and the production sampler share the key-derivation
+    # scheme and (for deterministic DDIM) must produce the SAME trajectory;
+    # the t -> t-1 bug made them diverge wildly on reduced schedules.
+    from nvblox_mindmap_tpu.models.diffuser_actor import sample_trajectory
+    from nvblox_mindmap_tpu.models.normalization import unnormalize_trajectory
+
+    prod_traj, _, _ = sample_trajectory(
+        model, variables, prepared, key, jnp.asarray(bounds),
+        num_inference_steps=5, scheduler_kind="ddim", stochastic=False,
+    )
+    eval_unnorm = unnormalize_trajectory(
+        traj10, jnp.asarray(bounds),
+        model_cfg.rotation_parametrization, model_cfg.quaternion_format,
+    )
+    np.testing.assert_allclose(
+        np.asarray(eval_unnorm), np.asarray(prod_traj), atol=1e-4
+    )
