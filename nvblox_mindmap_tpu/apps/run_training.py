@@ -83,6 +83,10 @@ def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0):
         demos=args.demos_valset or args.demos_train,
         batch_size=args.batch_size_val,
         sampling_weighting_type=SamplingWeightingType.UNIFORM,
+        # Keep the tail partial batch: a val set smaller than batch_size_val
+        # would otherwise evaluate nothing (the tail shape costs one extra
+        # eval-step compile, paid once).
+        drop_last=False,
         **common,
     )
     return train_loader, train_sampler, val_loader

@@ -320,13 +320,29 @@ class DemoDataset:
             fut = self.get_policy_state_future(
                 sample_idx, candidates, info["policy_states"]
             )
+            # Closedness via the embodiment codec: the reference compares the
+            # LAST column (dataset.py:227-256), which is gripper openness for
+            # the arm but head yaw for the humanoid - that would put ~every
+            # humanoid sample in the "change" class. Intentional improvement;
+            # identical to the reference for the single-gripper arm.
+            hist_closed = self.embodiment.split_gripper_tensor(hist[None])[
+                0, :, :, 7
+            ]
+            fut_closed = self.embodiment.split_gripper_tensor(fut[None])[
+                0, :, :, 7
+            ]
             if self.use_keyposes:
                 # Keypose mode: change between previous and next keypose
                 # (reference dataset.py:227-237).
-                has_change[global_idx] = hist[-1, -1] != fut[0, -1]
+                has_change[global_idx] = bool(
+                    np.any(hist_closed[-1] != fut_closed[0])
+                )
             else:
-                openness = np.concatenate([hist[:, -1], fut[:, -1]])
-                has_change[global_idx] = len(np.unique(openness)) > 1
+                openness = np.concatenate([hist_closed, fut_closed], axis=0)
+                has_change[global_idx] = any(
+                    len(np.unique(openness[:, g])) > 1
+                    for g in range(openness.shape[1])
+                )
         counts = np.asarray(
             [(~has_change).sum(), has_change.sum()], dtype=np.float64
         )

@@ -128,6 +128,8 @@ class DataLoader:
         sampler: Optional[WeightedEpochSampler] = None,
         drop_last: bool = True,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
         self.dataset = dataset
         self.embodiment = embodiment
@@ -138,12 +140,19 @@ class DataLoader:
         self.sampler = sampler
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def _index_batches(self) -> List[List[int]]:
         if self.sampler is not None:
+            # The sampler handles sharding itself (interleaved shards).
             order = list(iter(self.sampler))
         else:
-            order = list(range(len(self.dataset)))
+            # Sequential order still honors data-parallel sharding - silently
+            # serving every shard the full dataset would duplicate gradients.
+            order = list(range(len(self.dataset)))[
+                self.shard_index :: self.num_shards
+            ]
         batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
@@ -192,7 +201,16 @@ class DataLoader:
         def worker():
             try:
                 for indices in batches:
-                    if stop.is_set() or not _put(self._make_batch(indices)):
+                    if stop.is_set():
+                        return
+                    try:
+                        batch = self._make_batch(indices)
+                    except Exception as e:  # propagate to the consumer
+                        # Swallowing would end the epoch early and silently
+                        # train on a truncated subset forever.
+                        _put(e)
+                        return
+                    if not _put(batch):
                         return
             finally:
                 _put(sentinel)
@@ -204,6 +222,8 @@ class DataLoader:
                 item = q.get()
                 if item is sentinel:
                     break
+                if isinstance(item, Exception):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -245,6 +265,7 @@ def get_data_loader_by_data_type(
     num_shards: int = 1,
     shard_index: int = 0,
     seed: int = 0,
+    drop_last: bool = True,
 ) -> Tuple[DataLoader, Optional[WeightedEpochSampler]]:
     """Build the full train/eval loader for a data type (reference API parity)."""
     items = embodiment.get_camera_item_names_by_encoding_method(add_external_cam)
@@ -296,6 +317,9 @@ def get_data_loader_by_data_type(
         add_external_cam=add_external_cam,
         rgbd_min_depth_threshold=rgbd_min_depth_threshold,
         sampler=sampler,
+        drop_last=drop_last,
+        num_shards=num_shards,
+        shard_index=shard_index,
     )
     return loader, sampler
 
@@ -348,4 +372,7 @@ def get_data_loader_without_augmentations(
         num_shards=num_shards,
         shard_index=shard_index,
         seed=seed,
+        # Evaluation must see every sample; dropping the tail partial batch
+        # (or a whole sub-batch-size val set) silently skews metrics.
+        drop_last=False,
     )

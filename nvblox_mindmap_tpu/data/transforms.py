@@ -52,9 +52,33 @@ class DepthTransformer(SampleTransformer):
 def apply_transform_to_sample(
     sample: np.ndarray, translation: np.ndarray, rotation_quat: np.ndarray
 ) -> np.ndarray:
-    """SE3-transform points (..., 3) or poses (..., 8: pos+quat+gripper)."""
-    assert sample.shape[-1] in (3, 8)
+    """SE3-transform points (..., 3), poses (..., 8: pos+quat+gripper), or
+    humanoid policy states (..., 17: two 8-dim gripper poses + head yaw).
+
+    The reference supports only (3, 8) (sample_transformer.py:264) - the
+    17-dim extension transforms both hand poses and adds the transform's own
+    yaw to the head-yaw channel so augmentation stays usable for the
+    dual-gripper embodiment.
+    """
+    assert sample.shape[-1] in (3, 8, 17)
     dtype = sample.dtype
+    if sample.shape[-1] == 17:
+        left = apply_transform_to_sample(
+            sample[..., :8], translation, rotation_quat
+        )
+        right = apply_transform_to_sample(
+            sample[..., 8:16], translation, rotation_quat
+        )
+        # Rotating the world by yaw(q) turns the head by the same yaw.
+        # Supports a single (4,) quat or per-row (n, 4) quats (noise mode).
+        q = np.asarray(rotation_quat)
+        w, x, y, z = np.moveaxis(q, -1, 0)
+        dyaw = np.asarray(
+            np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+        )[..., None]
+        yaw = sample[..., 16:17] + dyaw
+        yaw = np.mod(yaw + np.pi, 2 * np.pi) - np.pi
+        return np.concatenate([left, right, yaw], axis=-1).astype(dtype)
     pos = quat_apply(rotation_quat, sample[..., :3]) + translation
     if sample.shape[-1] == 8:
         # Standardized (non-negative w), matching the reference's

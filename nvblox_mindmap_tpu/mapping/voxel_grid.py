@@ -204,11 +204,30 @@ def _decay_jit(tsdf, weight, config: MappingConfig):
     )
 
 
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def _decay_pool_weight_jit(pool_weight, config: MappingConfig):
+    w = pool_weight * config.tsdf_decay_factor
+    return jnp.where(w < 1e-2, 0.0, w)
+
+
 def decay(state: VoxelGridState, config: MappingConfig) -> VoxelGridState:
-    """Multiplicative TSDF-weight decay; fully decayed voxels become
-    unobserved (reference: mapper.decay() each sim step)."""
+    """Multiplicative weight decay; fully decayed voxels become unobserved
+    (reference: mapper.decay() each sim step).
+
+    Feature/color averaging weights decay with the same factor so a surface
+    that moves away and returns re-averages against a faded (not full-weight
+    stale) mean - the role nvblox's decayed-block deallocation plays. Freed
+    pages are actually reclaimed by the allocator (allocate_pages) once
+    their block has no observed voxel left.
+    """
     tsdf, weight = _decay_jit(state.tsdf, state.weight, config)
-    return dataclasses.replace(state, tsdf=tsdf, weight=weight)
+    return dataclasses.replace(
+        state,
+        tsdf=tsdf,
+        weight=weight,
+        feat_weight=_decay_pool_weight_jit(state.feat_weight, config),
+        color_weight=_decay_pool_weight_jit(state.color_weight, config),
+    )
 
 
 # -----------------------------------------------------------------------------
@@ -216,50 +235,85 @@ def decay(state: VoxelGridState, config: MappingConfig) -> VoxelGridState:
 # -----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(2, 3, 4))
-def _allocate_pages_jit(tsdf, weight, page_table, page_to_block, num_pages,
-                        config: MappingConfig):
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(2, 3, 4, 5))
+def _allocate_pages_jit(tsdf, weight, page_table, page_to_block,
+                        feat_weight, color_weight, config: MappingConfig):
+    """Reclaim dead pages, then assign free pages to near-surface blocks.
+
+    Reclamation (the TPU equivalent of nvblox's decayed-block deallocation):
+    a page whose block has no observed voxel left (all TSDF weights decayed
+    to zero) returns to the free list and its pool weights are zeroed, so a
+    robot sweeping the workspace cannot exhaust max_feature_pages.
+    Allocation is a deterministic cumsum over the free list.
+    """
     b = config.block_size
     BX, BY, BZ = config.block_grid_shape
-    near = (jnp.abs(tsdf) < config.truncation_distance_m * 0.75) & (weight > 0)
-    active = jnp.any(near.reshape(BX, b, BY, b, BZ, b), axis=(1, 3, 5))
+    P = config.max_feature_pages
+    observed = weight > 0
+    block_observed = jnp.any(
+        observed.reshape(BX, b, BY, b, BZ, b), axis=(1, 3, 5)
+    ).reshape(-1)
 
-    flat_active = active.reshape(-1)
+    # --- reclaim -------------------------------------------------------------
+    page_valid = page_to_block >= 0
+    safe_block = jnp.maximum(page_to_block, 0)
+    freeable = page_valid & ~block_observed[safe_block]
     flat_table = page_table.reshape(-1)
-    needs = flat_active & (flat_table < 0)
+    flat_table = flat_table.at[
+        jnp.where(freeable, safe_block, flat_table.shape[0])
+    ].set(-1, mode="drop")
+    page_to_block = jnp.where(freeable, -1, page_to_block)
+    feat_weight = jnp.where(freeable[:, None], 0.0, feat_weight)
+    color_weight = jnp.where(freeable[:, None], 0.0, color_weight)
+
+    # --- allocate ------------------------------------------------------------
+    near = (jnp.abs(tsdf) < config.truncation_distance_m * 0.75) & observed
+    active = jnp.any(near.reshape(BX, b, BY, b, BZ, b), axis=(1, 3, 5))
+    needs = active.reshape(-1) & (flat_table < 0)
     order = jnp.cumsum(needs.astype(jnp.int32)) - 1  # alloc rank per block
-    new_page = num_pages + order
-    can_alloc = needs & (new_page < config.max_feature_pages)
+
+    free = page_to_block < 0
+    num_free = jnp.sum(free.astype(jnp.int32))
+    free_ids = jnp.nonzero(free, size=P, fill_value=P)[0].astype(jnp.int32)
+    new_page = free_ids[jnp.clip(order, 0, P - 1)]
+    can_alloc = needs & (order < num_free)
     flat_table = jnp.where(can_alloc, new_page, flat_table)
-    num_new = jnp.sum(can_alloc.astype(jnp.int32))
 
     block_ids = jnp.arange(flat_table.shape[0], dtype=jnp.int32)
     page_to_block = page_to_block.at[
-        jnp.where(can_alloc, new_page, config.max_feature_pages)
+        jnp.where(can_alloc, new_page, P)
     ].set(jnp.where(can_alloc, block_ids, -1), mode="drop")
 
+    num_pages = jnp.sum((page_to_block >= 0).astype(jnp.int32))
     return (
         flat_table.reshape(BX, BY, BZ),
         page_to_block,
-        num_pages + num_new,
+        num_pages,
+        feat_weight,
+        color_weight,
     )
 
 
 def allocate_pages(state: VoxelGridState, config: MappingConfig) -> VoxelGridState:
-    """Assign pool pages to near-surface blocks that lack one.
+    """Reclaim + assign pool pages for near-surface blocks.
 
-    Deterministic cumsum allocation; silently stops allocating when the pool
-    is exhausted (callers can size max_feature_pages per task).
+    Deterministic cumsum allocation over the free list; silently stops
+    allocating when the pool is exhausted (callers size max_feature_pages
+    per task). ``num_pages`` tracks the live allocated-page count.
     """
-    page_table, page_to_block, num_pages = _allocate_pages_jit(
-        state.tsdf, state.weight, state.page_table, state.page_to_block,
-        state.num_pages, config,
+    page_table, page_to_block, num_pages, feat_weight, color_weight = (
+        _allocate_pages_jit(
+            state.tsdf, state.weight, state.page_table, state.page_to_block,
+            state.feat_weight, state.color_weight, config,
+        )
     )
     return dataclasses.replace(
         state,
         page_table=page_table,
         page_to_block=page_to_block,
         num_pages=num_pages,
+        feat_weight=feat_weight,
+        color_weight=color_weight,
     )
 
 
@@ -746,25 +800,30 @@ def query_tsdf_dense(state: VoxelGridState, config: MappingConfig) -> jnp.ndarra
 
 @partial(
     jax.jit,
-    static_argnames=("config", "has_mask", "with_decay"),
+    static_argnames=("config", "has_dmask", "has_fmask", "with_decay"),
     donate_argnums=(0,),
 )
 def _fuse_frame_jit(state: VoxelGridState, depth, features, T_WC, K, feat_K,
-                    mask, config: MappingConfig, has_mask: bool,
-                    with_decay: bool):
+                    depth_mask, feature_mask, config: MappingConfig,
+                    has_dmask: bool, has_fmask: bool, with_decay: bool):
     tsdf, weight = state.tsdf, state.weight
+    in_fw, in_cw = state.feat_weight, state.color_weight
     if with_decay:
         tsdf, weight = _decay_jit.__wrapped__(tsdf, weight, config)
+        in_fw = _decay_pool_weight_jit.__wrapped__(in_fw, config)
+        in_cw = _decay_pool_weight_jit.__wrapped__(in_cw, config)
     tsdf, weight = _integrate_depth_jit.__wrapped__(
-        tsdf, weight, depth, T_WC, K, mask, config, has_mask
+        tsdf, weight, depth, T_WC, K, depth_mask, config, has_dmask
     )
-    page_table, page_to_block, num_pages = _allocate_pages_jit.__wrapped__(
-        tsdf, weight, state.page_table, state.page_to_block, state.num_pages,
-        config,
+    page_table, page_to_block, num_pages, fw, cw = (
+        _allocate_pages_jit.__wrapped__(
+            tsdf, weight, state.page_table, state.page_to_block,
+            in_fw, in_cw, config,
+        )
     )
     feat, feat_weight = _integrate_pool_jit.__wrapped__(
-        state.feat, state.feat_weight, page_to_block, tsdf, weight, features,
-        T_WC, feat_K, mask, config, has_mask,
+        state.feat, fw, page_to_block, tsdf, weight, features,
+        T_WC, feat_K, feature_mask, config, has_fmask,
         config.projective_appearance_integrator_measurement_weight,
     )
     return dataclasses.replace(
@@ -776,6 +835,7 @@ def _fuse_frame_jit(state: VoxelGridState, depth, features, T_WC, K, feat_K,
         num_pages=num_pages,
         feat=feat,
         feat_weight=feat_weight,
+        color_weight=cw,
     )
 
 
@@ -787,18 +847,34 @@ def fuse_frame(
     T_WC: jnp.ndarray,
     K: jnp.ndarray,
     feat_K: jnp.ndarray,
-    mask: Optional[jnp.ndarray] = None,
+    depth_mask: Optional[jnp.ndarray] = None,
     with_decay: bool = True,
+    feature_mask: Optional[jnp.ndarray] = None,
 ) -> VoxelGridState:
     """One fused map update: decay + TSDF + page alloc + feature fusion.
 
     Dispatches a single XLA program per frame - the production fusion path
     (host dispatch overhead amortizes to one call; everything stays in HBM).
-    The feature mask, when given, must be at the feature image resolution.
+    Masks are per-resolution: ``depth_mask`` at the depth image resolution,
+    ``feature_mask`` at the feature image resolution (a single mask cannot
+    serve both - the integrators index it with their own pixel coordinates).
     """
-    has_mask = mask is not None
-    mask_arg = mask if has_mask else jnp.zeros((1, 1), dtype=bool)
+    if depth_mask is not None and depth_mask.shape != depth.shape:
+        raise ValueError(
+            f"depth_mask shape {depth_mask.shape} != depth {depth.shape}; "
+            "pass feature-resolution masks via feature_mask="
+        )
+    if feature_mask is not None and feature_mask.shape != features.shape[:2]:
+        raise ValueError(
+            f"feature_mask shape {feature_mask.shape} != feature image "
+            f"{features.shape[:2]}"
+        )
+    has_dmask = depth_mask is not None
+    has_fmask = feature_mask is not None
+    dummy = jnp.zeros((1, 1), dtype=bool)
     return _fuse_frame_jit(
-        state, depth, features, T_WC, K, feat_K, mask_arg, config, has_mask,
-        with_decay,
+        state, depth, features, T_WC, K, feat_K,
+        depth_mask if has_dmask else dummy,
+        feature_mask if has_fmask else dummy,
+        config, has_dmask, has_fmask, with_decay,
     )

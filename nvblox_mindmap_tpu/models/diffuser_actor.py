@@ -69,6 +69,18 @@ class DiffuserActorConfig:
     predictor_dropout: float = 0.0
     loss_weights: LossWeights = LossWeights()
 
+    def __post_init__(self):
+        if "6D" not in self.rotation_parametrization:
+            # The denoiser, losses and samplers are built around the 9-dim
+            # (pos3 + 6D) trajectory layout; a quaternion head would need a
+            # 7-dim pipeline end to end. Fail here, not deep in tracing.
+            # (The reference's production configs are 6D-only too.)
+            raise NotImplementedError(
+                "rotation_parametrization must contain '6D' (got "
+                f"{self.rotation_parametrization!r}); quaternion-space "
+                "diffusion is not implemented"
+            )
+
     def schedules(self, kind: str = "ddpm") -> Tuple[DiffusionSchedule, DiffusionSchedule]:
         """(position, rotation) noise schedules."""
         return (

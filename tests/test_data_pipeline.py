@@ -334,3 +334,154 @@ def test_loader_early_stop_releases_prefetch_worker(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_loader_propagates_worker_exceptions(tmp_path):
+    """A corrupt sample must raise in the training loop, not silently end
+    the epoch early (biased training)."""
+    from nvblox_mindmap_tpu.data.data_types import DataType
+    from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    write_arm_demo(str(tmp_path / "demo_00000"), seed=0)
+    # Corrupt one mesh file.
+    victim = str(tmp_path / "demo_00000" / "5.nvblox_vertex_features.zst")
+    with open(victim, "wb") as f:
+        f.write(b"not a zst stream")
+
+    loader, _ = get_data_loader_by_data_type(
+        embodiment=ArmEmbodiment(),
+        dataset_path=str(tmp_path),
+        demos="0",
+        num_workers=0,
+        batch_size=2,
+        use_keyposes=False,
+        data_type=DataType.MESH,
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+        include_failed_demos=True,
+        sampling_weighting_type=SamplingWeightingType.NONE,
+        num_history=2,
+        prediction_horizon=1,
+        num_vertices_to_sample=16,
+        vertex_sampling_method=VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT,
+    )
+    with pytest.raises(Exception):
+        for _ in loader:
+            pass
+
+
+def test_sequential_loader_shards_without_sampler(tmp_path):
+    """num_shards is honored even with SamplingWeightingType.NONE - shards
+    must see disjoint data, not identical full-dataset batches."""
+    from nvblox_mindmap_tpu.data.data_types import DataType
+    from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    write_arm_demo(str(tmp_path / "demo_00000"), seed=0)
+
+    def make(shard):
+        loader, _ = get_data_loader_by_data_type(
+            embodiment=ArmEmbodiment(),
+            dataset_path=str(tmp_path),
+            demos="0",
+            num_workers=0,
+            batch_size=4,
+            use_keyposes=False,
+            data_type=DataType.MESH,
+            only_sample_keyposes=False,
+            extra_keyposes_around_grasp_events=[],
+            keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+            include_failed_demos=True,
+            sampling_weighting_type=SamplingWeightingType.NONE,
+            num_history=2,
+            prediction_horizon=1,
+            num_vertices_to_sample=16,
+            vertex_sampling_method=(
+                VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT
+            ),
+            num_shards=2,
+            shard_index=shard,
+        )
+        return loader
+
+    a, b = make(0), make(1)
+    n_total = len(a.dataset)
+    # Each shard sees about half the batches; together they cover the set.
+    assert len(a) + len(b) <= (n_total // 4) + 2
+    assert abs(len(a) - len(b)) <= 1
+    ba = next(iter(a))["gripper_history"]
+    bb = next(iter(b))["gripper_history"]
+    assert not np.allclose(np.asarray(ba), np.asarray(bb))
+
+
+def test_humanoid_17dim_augmentation_transform():
+    """SE3 augmentation on dual-gripper policy states: both hand poses
+    transform and head yaw shifts by the transform's own yaw (the reference
+    supports only 3/8-dim rows - documented extension)."""
+    from nvblox_mindmap_tpu.data.transforms import apply_transform_to_sample
+    from nvblox_mindmap_tpu.geometry.np_rotations import euler_xyz_to_quat
+
+    rng = np.random.default_rng(0)
+    state = np.zeros((4, 17), dtype=np.float32)
+    state[:, :3] = rng.uniform(-0.5, 0.5, (4, 3))
+    state[:, 3] = 1.0  # left quat = identity
+    state[:, 8:11] = rng.uniform(-0.5, 0.5, (4, 3))
+    state[:, 11] = 1.0  # right quat
+    state[:, 16] = rng.uniform(-1, 1, 4)  # head yaw
+    dyaw = 0.3
+    quat = euler_xyz_to_quat(np.asarray([0.0, 0.0, dyaw]))
+    t = np.asarray([0.1, -0.2, 0.05])
+    out = apply_transform_to_sample(state, t, quat)
+    assert out.shape == (4, 17)
+    # Each hand pos transforms like a plain 8-dim pose row.
+    left8 = apply_transform_to_sample(state[:, :8], t, quat)
+    np.testing.assert_allclose(out[:, :8], left8, atol=1e-6)
+    right8 = apply_transform_to_sample(state[:, 8:16], t, quat)
+    np.testing.assert_allclose(out[:, 8:16], right8, atol=1e-6)
+    np.testing.assert_allclose(out[:, 16], state[:, 16] + dyaw, atol=1e-6)
+
+
+def test_humanoid_gripper_state_change_weights(tmp_path):
+    """GRIPPER_STATE_CHANGE weighting reads the closedness columns via the
+    embodiment codec - for the humanoid the last policy column is head yaw
+    (continuous), which would otherwise class nearly every sample as a
+    'change' (reference compares [-1, -1] - documented improvement)."""
+    from tests.test_humanoid import write_humanoid_demo
+    from nvblox_mindmap_tpu.data.data_types import DataType
+    from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.embodiments.humanoid import HumanoidEmbodiment
+
+    write_humanoid_demo(str(tmp_path / "demo_00000"), seed=0)
+    loader, sampler = get_data_loader_by_data_type(
+        embodiment=HumanoidEmbodiment(),
+        dataset_path=str(tmp_path),
+        demos="0",
+        num_workers=0,
+        batch_size=2,
+        use_keyposes=True,
+        data_type=DataType.MESH,
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=[5],
+        keypose_detection_mode=(
+            KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION_AND_HEAD_TURN
+        ),
+        include_failed_demos=False,
+        sampling_weighting_type=SamplingWeightingType.GRIPPER_STATE_CHANGE,
+        num_history=3,
+        prediction_horizon=1,
+        num_vertices_to_sample=32,
+        vertex_sampling_method=VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT,
+    )
+    assert sampler is not None
+    weights = np.asarray(loader.dataset.get_sample_weights(
+        SamplingWeightingType.GRIPPER_STATE_CHANGE, True))
+    # Both classes exist: some keypose transitions toggle a hand, most don't.
+    assert len(np.unique(weights)) == 2

@@ -456,3 +456,66 @@ def test_surface_extraction_overflow_is_detected(caplog):
     _, _, valid = mapper.get_feature_mesh(MapperId.STATIC)
     assert int(np.asarray(valid).sum()) == 16
     assert any("overflow" in r.message for r in caplog.records)
+
+
+def test_page_reclamation_after_decay():
+    """Fully decayed blocks return their pages to the pool and their stale
+    averaging weights are cleared, so long-running dynamic scenes cannot
+    exhaust max_feature_pages (the role of nvblox's decayed-block
+    deallocation)."""
+    cfg = small_config(feature_dim=4)
+    K, T, H, W = camera()
+    state = vg.create_state(cfg)
+    near = np.full((H, W), 0.9, dtype=np.float32)
+    feat_a = np.full((H, W, 4), 0.5, dtype=np.float32)
+
+    state = vg.integrate_depth(state, cfg, jnp.asarray(near), jnp.asarray(T),
+                               jnp.asarray(K))
+    state = vg.integrate_features(state, cfg, jnp.asarray(feat_a),
+                                  jnp.asarray(T), jnp.asarray(K))
+    n_alloc = int(state.num_pages)
+    assert n_alloc > 0
+    assert float(np.asarray(state.feat_weight).max()) > 0
+
+    # Decay until the surface is fully forgotten, then reclaim.
+    for _ in range(600):
+        state = vg.decay(state, cfg)
+    assert float(np.asarray(state.weight).max()) == 0.0
+    # Pool weights decayed to zero with the surface.
+    assert float(np.asarray(state.feat_weight).max()) == 0.0
+    state = vg.allocate_pages(state, cfg)
+    assert int(state.num_pages) == 0
+    assert np.all(np.asarray(state.page_to_block) == -1)
+    assert np.all(np.asarray(state.page_table) == -1)
+
+    # A new surface reuses the reclaimed pages (no monotonic exhaustion).
+    far = np.full((H, W), 1.3, dtype=np.float32)
+    feat_b = np.full((H, W, 4), -0.25, dtype=np.float32)
+    state = vg.integrate_depth(state, cfg, jnp.asarray(far), jnp.asarray(T),
+                               jnp.asarray(K))
+    state = vg.integrate_features(state, cfg, jnp.asarray(feat_b),
+                                  jnp.asarray(T), jnp.asarray(K))
+    assert int(state.num_pages) > 0
+    vertices, feats, valid = vg.extract_surface_vertices(state, cfg, 4096)
+    feats = np.asarray(feats)[np.asarray(valid)]
+    nonzero = np.abs(feats).sum(axis=1) > 0
+    assert nonzero.sum() > 10
+    # Features are the NEW surface's values, not a stale mix with wall A.
+    np.testing.assert_allclose(
+        feats[nonzero], -0.25 * np.ones_like(feats[nonzero]), atol=5e-2
+    )
+
+
+def test_fuse_frame_rejects_wrong_resolution_masks():
+    cfg = small_config(feature_dim=4)
+    K, T, H, W = camera()
+    state = vg.create_state(cfg)
+    depth = jnp.full((H, W), 1.0)
+    feat = jnp.zeros((16, 16, 4))
+    fK = jnp.asarray(K) / 4.0
+    with pytest.raises(ValueError, match="depth_mask"):
+        vg.fuse_frame(state, cfg, depth, feat, jnp.asarray(T), jnp.asarray(K),
+                      fK, depth_mask=jnp.ones((16, 16), bool))
+    with pytest.raises(ValueError, match="feature_mask"):
+        vg.fuse_frame(state, cfg, depth, feat, jnp.asarray(T), jnp.asarray(K),
+                      fK, feature_mask=jnp.ones((H, W), bool))
