@@ -278,6 +278,12 @@ def prepare_inputs(
     if config.relative:
         # Translate history/pcd by the current pose; translate+rotate the GT
         # trajectory (reference model_utils/relative_conversions.py).
+        # Reference-parity notes (diffuser_actor.py:557-585): mesh vertices
+        # deliberately stay absolute (the reference asserts RGBD-only for
+        # pcd relativization and never shifts vertices), and the shifted
+        # pcds are still bounds-checked against the absolute workspace AABB
+        # (same in the reference - relative mode presumes bounds containing
+        # the origin-centered cloud).
         current_pos = out["current_pose"][..., :3]  # (B, G, 3)
         current_quat = out["current_pose"][..., 3:7]
         gripper_history = jnp.concatenate(

