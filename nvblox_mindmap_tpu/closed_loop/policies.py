@@ -131,8 +131,6 @@ def get_dummy_policy_for_embodiment(embodiment_type) -> GoalPolicy:
     robot; the humanoid moves both hands up/down while turning the head.
     Policy states use the flat embodiment codecs
     (arm: pos3+quat4+closedness; humanoid: left 8 + right 8 + head yaw)."""
-    from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
-
     if embodiment_type == EmbodimentType.ARM:
         goals = [
             np.asarray([0.6, 0.25, 0.25, 0, 1, 0, 0, 0.0], np.float32),
@@ -232,6 +230,11 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
 
     # --- per-sim-step map update ---------------------------------------------
     def step(self, env: EnvironmentBase) -> None:
+        # Map updates only when the model consumes the reconstruction
+        # (reference nvblox_diffuser_actor_policy.py:77-83 includes_nvblox
+        # guard) - rgbd mode reads cameras directly at inference time.
+        if self.config.data_type not in ("mesh", "rgbd_and_mesh"):
+            return
         self.mapper.decay()
         for frame in env.get_cameras().values():
             features = self.feature_fn(frame.rgb)
@@ -252,7 +255,22 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
                 dynamic_mask=dynamic_mask,
                 include_dynamic=self.include_dynamic,
             )
-        self.history.append(np.asarray(env.get_policy_state(), dtype=np.float32))
+
+    def _update_history(self, env: EnvironmentBase) -> None:
+        """Record the policy state once per INFERENCE, not per sim step.
+
+        Training history is keypose/inference-spaced; the reference appends
+        to the deque only inside get_new_goal and seeds the whole deque with
+        the current state on first use
+        (nvblox_diffuser_actor_policy.py:249-259). Appending every sim step
+        would hand the model ~num_history near-identical current poses -
+        out-of-distribution vs the checkpoint.
+        """
+        state = np.asarray(env.get_policy_state(), dtype=np.float32)
+        if not self.history:
+            self.history.extend([state] * self.num_history)
+        else:
+            self.history.append(state)
 
     # --- inference -----------------------------------------------------------
     def _model_inputs(self, env: EnvironmentBase) -> Dict:
@@ -267,22 +285,32 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
             "vertex_features": None,
             "vertices_valid_mask": None,
         }
-        # Gripper history (pad with the oldest entry).
+        # Gripper history (seeded on first inference; see _update_history).
         hist = list(self.history)
-        while len(hist) < self.num_history:
-            hist.insert(0, hist[0])
         hist_arr = np.stack(hist[-self.num_history :])[None]  # (1, nhist, P)
         batch["gripper_history"] = self.embodiment.split_gripper_tensor(hist_arr)
 
         if self.config.data_type in ("mesh", "rgbd_and_mesh"):
-            self.mapper.update_feature_mesh(
-                MapperId.STATIC, max_vertices=max(self.num_vertices_to_sample, 4096)
-            )
+            budget = max(self.num_vertices_to_sample, 4096)
+            self.mapper.update_feature_mesh(MapperId.STATIC, max_vertices=budget)
             # remove_zero_features=True matches the reference live policy
             # (nvblox_diffuser_actor_policy.py:208-210).
             vertices, features = get_vertices_and_features(
                 self.mapper, MapperId.STATIC, remove_zero_features=True
             )
+            if self.include_dynamic:
+                # Training data was exported with static+dynamic combined
+                # (save_feature_mesh_to_disk include_dynamic); the live policy
+                # must see the same - the manipulated object lives in the
+                # DYNAMIC mapper and is masked out of the static map.
+                self.mapper.update_feature_mesh(
+                    MapperId.DYNAMIC, max_vertices=budget
+                )
+                dyn_v, dyn_f = get_vertices_and_features(
+                    self.mapper, MapperId.DYNAMIC, remove_zero_features=True
+                )
+                vertices = np.concatenate([vertices, dyn_v], axis=0)
+                features = np.concatenate([features, dyn_f], axis=0)
             vertices, features, valid = sample_to_n_vertices(
                 vertices,
                 features,
@@ -314,6 +342,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         return batch
 
     def get_new_goal(self, env: EnvironmentBase) -> List[np.ndarray]:
+        self._update_history(env)
         batch = self._model_inputs(env)
         if self._infer is None:
             model, bounds = self.model, self.bounds

@@ -80,6 +80,14 @@ class DiffuserActorConfig:
                 f"{self.rotation_parametrization!r}); quaternion-space "
                 "diffusion is not implemented"
             )
+        if self.use_shared_feature_encoder and self.data_type == "mesh":
+            # The shared encoder routes mesh features through the image
+            # feature encoder, which only exists when images are encoded.
+            raise ValueError(
+                "use_shared_feature_encoder requires image inputs "
+                "(data_type 'rgbd' or 'rgbd_and_mesh'); with data_type "
+                "'mesh' there is no image encoder to share"
+            )
 
     def schedules(self, kind: str = "ddpm") -> Tuple[DiffusionSchedule, DiffusionSchedule]:
         """(position, rotation) noise schedules."""

