@@ -94,6 +94,11 @@ def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(message)s")
+    # Multi-host init MUST precede any other jax call in the process (no-op
+    # without JAX_COORDINATOR_ADDRESS; reference: MultiProcessGroup enter).
+    from nvblox_mindmap_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     cli_args = parse_args(TrainingAppArgs, argv)
     args = update_model_args_from_checkpoint(cli_args)
     assert args.task is not None, "--task is required"

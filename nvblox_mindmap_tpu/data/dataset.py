@@ -144,6 +144,14 @@ class DemoDataset:
         self.embodiment = embodiment
         self.excluded_datasets = 0
         self.demo_info: Dict[str, Dict] = {}
+        # Stateful transforms (GeometryAugmentor/Noiser/VertexSampler) share
+        # numpy Generators, which are NOT thread-safe; train prefetch and a
+        # concurrent train-val iteration both call __getitem__, so sample
+        # assembly is serialized (decode dominates and stays parallel across
+        # batches within one worker anyway).
+        import threading
+
+        self._getitem_lock = threading.Lock()
 
         for demo_path in get_demo_paths(dataset_path, demos):
             assert os.path.exists(demo_path), f"Missing demo dir: {demo_path}"
@@ -252,6 +260,10 @@ class DemoDataset:
 
     # --- retrieval -----------------------------------------------------------
     def __getitem__(self, global_idx: int) -> Dict:
+        with self._getitem_lock:
+            return self._getitem_unlocked(global_idx)
+
+    def _getitem_unlocked(self, global_idx: int) -> Dict:
         demo_path, sample_idx = self.locate(global_idx)
         info = self.demo_info[demo_path]
         policy_states = info["policy_states"]

@@ -393,12 +393,16 @@ def sample_trajectory(
     num_inference_steps: Optional[int] = None,
     scheduler_kind: str = "ddpm",
     stochastic: bool = True,
+    normalized: bool = False,
 ):
     """Full reverse-diffusion sampling as one lax.scan.
 
     Returns (trajectory (B, L, G, 8: pos+quat+openness prob),
              head_yaw (B, L, 1) or None,
              mean cross-attention weights (B, L*G, N)).
+    With ``normalized=True`` the trajectory is returned in normalized space
+    (B, L, G, 10: pos3+6D+openness logit) without unnormalize/relative
+    restore - the trainer's eval path computes losses there.
     """
     cfg = model.config
     pos_sched, rot_sched = cfg.schedules(kind=scheduler_kind)
@@ -457,6 +461,9 @@ def sample_trajectory(
     mean_weights = None if weights_seq is None else jnp.mean(weights_seq, axis=0)
 
     trajectory = jnp.concatenate([trajectory, openness], axis=-1)
+    if normalized:
+        # Eval path (trainer): loss is computed in normalized space.
+        return trajectory, head_yaw, mean_weights
     trajectory = unnormalize_trajectory(
         trajectory,
         workspace_bounds,

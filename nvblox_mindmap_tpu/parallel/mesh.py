@@ -58,9 +58,22 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     )
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
 def maybe_init_distributed():
-    """Initialize jax.distributed from environment if running multi-process."""
+    """Initialize jax.distributed from environment if running multi-process.
+
+    MUST run before any other jax call in the process: querying
+    jax.process_count() (as an earlier version did) initializes the XLA
+    backend and makes jax.distributed.initialize() fail. The decision is
+    therefore made purely from environment variables; idempotent.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
+        _DISTRIBUTED_INITIALIZED = True

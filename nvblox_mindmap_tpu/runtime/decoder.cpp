@@ -9,6 +9,10 @@
 // frames in parallel while the TPU runs the previous step.
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+// Every entry point is exception-safe: C++ exceptions (e.g. bad_alloc from a
+// corrupt frame header declaring an absurd content size) must never unwind
+// through the extern "C" boundary into ctypes - that is UB and in practice
+// std::terminate. All such paths return -1 instead.
 
 #include <png.h>
 #include <zstd.h>
@@ -25,16 +29,12 @@
 #include <thread>
 #include <vector>
 
-extern "C" {
+namespace {
 
-// ---------------------------------------------------------------------------
-// zstd
-// ---------------------------------------------------------------------------
-
-// Decompress a zstd file. Returns the decompressed size, or -1 on error.
-// If out == nullptr, only returns the required size (two-pass API).
-long long mm_zstd_decompress_file(const char* path, uint8_t* out,
-                                  long long out_capacity) {
+// Read + decompress a zstd file into `result`. Returns size or -1.
+// Shared by both public entry points (two-pass and alloc variants).
+long long decompress_zstd_to_vector(const char* path,
+                                    std::vector<uint8_t>& result) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   if (fseek(f, 0, SEEK_END) != 0) {
@@ -58,10 +58,15 @@ long long mm_zstd_decompress_file(const char* path, uint8_t* out,
   if (content_size == ZSTD_CONTENTSIZE_ERROR) return -1;
 
   if (content_size != ZSTD_CONTENTSIZE_UNKNOWN) {
-    if (out == nullptr) return (long long)content_size;
-    if ((long long)content_size > out_capacity) return -1;
-    size_t got = ZSTD_decompress(out, content_size, comp.data(), comp.size());
+    // Sanity bound: a corrupt header can declare an absurd size; zstd's
+    // maximum practical ratio is far under 100000x.
+    if (content_size > (unsigned long long)fsize * 100000ull + (1ull << 20))
+      return -1;
+    result.resize(content_size);
+    size_t got =
+        ZSTD_decompress(result.data(), content_size, comp.data(), comp.size());
     if (ZSTD_isError(got)) return -1;
+    result.resize(got);
     return (long long)got;
   }
 
@@ -70,7 +75,7 @@ long long mm_zstd_decompress_file(const char* path, uint8_t* out,
   ZSTD_DStream* ds = ZSTD_createDStream();
   if (!ds) return -1;
   ZSTD_initDStream(ds);
-  std::vector<uint8_t> result;
+  result.clear();
   result.reserve(comp.size() * 4);
   std::vector<uint8_t> chunk(1 << 20);
   ZSTD_inBuffer in = {comp.data(), comp.size(), 0};
@@ -85,87 +90,54 @@ long long mm_zstd_decompress_file(const char* path, uint8_t* out,
     if (ret == 0) break;
   }
   ZSTD_freeDStream(ds);
-  if (out == nullptr) return (long long)result.size();
-  if ((long long)result.size() > out_capacity) return -1;
-  memcpy(out, result.data(), result.size());
   return (long long)result.size();
+}
+
+std::mutex g_buf_mu;
+std::vector<std::pair<uint8_t*, void*>> g_buffers;
+
+void register_buffer(uint8_t* data, void* owner) {
+  std::lock_guard<std::mutex> lock(g_buf_mu);
+  g_buffers.emplace_back(data, owner);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// zstd
+// ---------------------------------------------------------------------------
+
+// Decompress a zstd file. Returns the decompressed size, or -1 on error.
+// If out == nullptr, only returns the required size (two-pass API).
+long long mm_zstd_decompress_file(const char* path, uint8_t* out,
+                                  long long out_capacity) try {
+  std::vector<uint8_t> result;
+  long long size = decompress_zstd_to_vector(path, result);
+  if (size < 0) return -1;
+  if (out == nullptr) return size;
+  if (size > out_capacity) return -1;
+  memcpy(out, result.data(), size);
+  return size;
+} catch (...) {
+  return -1;
 }
 
 // Single-pass decompression: allocates an internal buffer and returns it via
 // out_ptr. Caller must release with mm_buffer_free. Returns size or -1.
-long long mm_zstd_decompress_file_alloc(const char* path, uint8_t** out_ptr) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  if (fseek(f, 0, SEEK_END) != 0) {
-    fclose(f);
+long long mm_zstd_decompress_file_alloc(const char* path, uint8_t** out_ptr) try {
+  auto result = new std::vector<uint8_t>();
+  long long size = decompress_zstd_to_vector(path, *result);
+  if (size < 0) {
+    delete result;
     return -1;
-  }
-  long fsize = ftell(f);
-  if (fsize < 0 || fseek(f, 0, SEEK_SET) != 0) {
-    fclose(f);
-    return -1;
-  }
-  std::vector<uint8_t> comp(fsize);
-  if (fread(comp.data(), 1, fsize, f) != (size_t)fsize) {
-    fclose(f);
-    return -1;
-  }
-  fclose(f);
-
-  auto* result = new std::vector<uint8_t>();
-  unsigned long long content_size =
-      ZSTD_getFrameContentSize(comp.data(), comp.size());
-  if (content_size != ZSTD_CONTENTSIZE_ERROR &&
-      content_size != ZSTD_CONTENTSIZE_UNKNOWN) {
-    result->resize(content_size);
-    size_t got =
-        ZSTD_decompress(result->data(), content_size, comp.data(), comp.size());
-    if (ZSTD_isError(got)) {
-      delete result;
-      return -1;
-    }
-    result->resize(got);
-  } else {
-    ZSTD_DStream* ds = ZSTD_createDStream();
-    if (!ds) {
-      delete result;
-      return -1;
-    }
-    ZSTD_initDStream(ds);
-    result->reserve(comp.size() * 4);
-    std::vector<uint8_t> chunk(1 << 20);
-    ZSTD_inBuffer in = {comp.data(), comp.size(), 0};
-    while (in.pos < in.size) {
-      ZSTD_outBuffer ob = {chunk.data(), chunk.size(), 0};
-      size_t ret = ZSTD_decompressStream(ds, &ob, &in);
-      if (ZSTD_isError(ret)) {
-        ZSTD_freeDStream(ds);
-        delete result;
-        return -1;
-      }
-      result->insert(result->end(), chunk.data(), chunk.data() + ob.pos);
-      if (ret == 0) break;
-    }
-    ZSTD_freeDStream(ds);
   }
   *out_ptr = result->data();
-  // Stash the vector pointer just before... instead, return via handle table:
-  // simplest portable approach: leak-free via pairing pointer in a map.
-  {
-    extern void mm_register_buffer(uint8_t* data, void* owner);
-    mm_register_buffer(result->data(), result);
-  }
-  return (long long)result->size();
-}
-
-namespace {
-std::mutex g_buf_mu;
-std::vector<std::pair<uint8_t*, void*>> g_buffers;
-}  // namespace
-
-void mm_register_buffer(uint8_t* data, void* owner) {
-  std::lock_guard<std::mutex> lock(g_buf_mu);
-  g_buffers.emplace_back(data, owner);
+  register_buffer(result->data(), result);
+  return size;
+} catch (...) {
+  return -1;
 }
 
 void mm_buffer_free(uint8_t* data) {
@@ -186,7 +158,7 @@ void mm_buffer_free(uint8_t* data) {
 // Read a PNG header: fills width/height/channels/bit_depth. Returns 0 on
 // success.
 int mm_png_info(const char* path, int* width, int* height, int* channels,
-                int* bit_depth) {
+                int* bit_depth) try {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   png_structp png =
@@ -215,12 +187,14 @@ int mm_png_info(const char* path, int* width, int* height, int* channels,
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(f);
   return 0;
+} catch (...) {
+  return -1;
 }
 
 // Decode a PNG into a caller-provided buffer (row-major, native channel
 // count). 16-bit images are emitted as native-endian uint16. Returns 0 on
 // success.
-int mm_png_decode(const char* path, uint8_t* out, long long out_capacity) {
+int mm_png_decode(const char* path, uint8_t* out, long long out_capacity) try {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   png_structp png =
@@ -235,6 +209,9 @@ int mm_png_decode(const char* path, uint8_t* out, long long out_capacity) {
     fclose(f);
     return -1;
   }
+  // Declared BEFORE setjmp: a libpng error longjmps back here, and jumping
+  // over a live object constructed after setjmp would be UB (and leak).
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -245,6 +222,7 @@ int mm_png_decode(const char* path, uint8_t* out, long long out_capacity) {
   int width = png_get_image_width(png, info);
   int height = png_get_image_height(png, info);
   int bit_depth = png_get_bit_depth(png, info);
+  (void)width;
 
   if (png_get_color_type(png, info) == PNG_COLOR_TYPE_PALETTE)
     png_set_palette_to_rgb(png);
@@ -257,13 +235,17 @@ int mm_png_decode(const char* path, uint8_t* out, long long out_capacity) {
     fclose(f);
     return -1;
   }
-  std::vector<png_bytep> rows(height);
+  rows.resize(height);
   for (int y = 0; y < height; y++) rows[y] = out + y * rowbytes;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(f);
   return 0;
+} catch (...) {
+  return -1;
 }
+
+}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // Thread pool for batched decode
@@ -327,11 +309,13 @@ ThreadPool* pool(int n_threads) {
 
 }  // namespace
 
+extern "C" {
+
 // Decode a batch of PNGs in parallel. paths: array of n C strings; outs:
 // array of n destination buffers; capacities: per-buffer sizes. Returns the
-// number of failures.
+// number of failures (or -1 if the batch machinery itself failed).
 int mm_png_decode_batch(const char** paths, uint8_t** outs,
-                        const long long* capacities, int n, int n_threads) {
+                        const long long* capacities, int n, int n_threads) try {
   std::atomic<int> failures(0);
   std::atomic<int> done(0);
   std::mutex mu;
@@ -349,6 +333,8 @@ int mm_png_decode_batch(const char** paths, uint8_t** outs,
   std::unique_lock<std::mutex> lock(mu);
   cv.wait(lock, [&] { return done.load() == n; });
   return failures.load();
+} catch (...) {
+  return -1;
 }
 
 }  // extern "C"

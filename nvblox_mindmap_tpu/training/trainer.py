@@ -324,12 +324,31 @@ class Trainer:
         loss_sum = 0.0
         metric_sums: Dict[str, np.ndarray] = {}
         count = 0
+        n_devices = 1 if self.mesh is None else self.mesh.size
         for i, batch in enumerate(loader):
             if i >= n:
                 break
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(self.config.seed + 17), step * 1000 + i
             )
+            # Eval loaders keep partial tail batches (drop_last=False); a
+            # batch-sharded mesh needs divisible leading dims, so trim the
+            # remainder (< mesh size samples) instead of crashing the run.
+            bsz = batch["gripper_history"].shape[0]
+            if bsz % n_devices != 0:
+                keep = (bsz // n_devices) * n_devices
+                if keep == 0:
+                    logger.warning(
+                        "eval batch of %d samples < mesh size %d; skipped",
+                        bsz, n_devices,
+                    )
+                    continue
+                batch = jax.tree_util.tree_map(
+                    lambda x: x[:keep] if hasattr(x, "shape")
+                    and getattr(x, "ndim", 0) > 0 and x.shape[0] == bsz else x,
+                    batch,
+                    is_leaf=lambda x: x is None,
+                )
             device_batch = shard_batch(batch, self.mesh)
             with Timer("step/eval/inference"):
                 losses, metrics = self._eval_step(params, device_batch, rng)
@@ -385,10 +404,16 @@ class Trainer:
         while step < cfg.train_iters:
             epoch_idx = step // train_epoch_length
             if step % train_epoch_length == 0 or train_iter is None:
-                if train_loader.sampler is not None and (
-                    epoch_idx % cfg.set_epoch_every == 0
-                ):
-                    train_loader.sampler.set_epoch(epoch_idx)
+                if train_loader.sampler is not None:
+                    # The stream reseeds once per set_epoch_every block
+                    # (reference run_training.py:686-689). Setting the
+                    # block's base epoch unconditionally also restores the
+                    # right stream when RESUMING mid-block (the old modulo
+                    # guard left a resumed run on the epoch-0 stream).
+                    train_loader.sampler.set_epoch(
+                        (epoch_idx // cfg.set_epoch_every)
+                        * cfg.set_epoch_every
+                    )
                 train_iter = iter(train_loader)
                 next_device_batch = None
             step_timer = Timer("step")
@@ -497,51 +522,20 @@ def _to_jnp(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 def _sample_normalized(model, variables, prepared, rng, cfg,
                        num_inference_steps=None, scheduler_kind="ddpm"):
-    """Sampler in normalized space (no unnormalize), for eval losses."""
-    pos_sched, rot_sched = cfg.schedules(kind=scheduler_kind)
-    fixed = model.apply(
-        variables,
-        prepared.get("rgbs"),
-        prepared.get("pcds"),
-        prepared.get("pcd_valid_mask"),
-        prepared.get("vertex_features"),
-        prepared.get("vertices"),
-        prepared.get("vertices_valid_mask"),
-        prepared.get("instruction"),
-        prepared["gripper_history"],
-        prepared["curr_closedness"],
-        method=DiffuserActor.encode,
-    )
-    B = prepared["gripper_history"].shape[0]
-    L, G = cfg.prediction_horizon, cfg.ngrippers
-    timesteps = pos_sched.timesteps(num_inference_steps)
-    T = timesteps.shape[0]
-    # Each reduced-schedule step must jump t -> t - step_ratio (as the
-    # production sampler does, models/diffuser_actor.py:397-417); stepping
-    # t -> t-1 with only T steps would leave (1 - T/train_steps) of the
-    # noise in place.
-    step_ratio = cfg.diffusion_timesteps // T
-    all_keys = jax.random.split(rng, T + 1)
-    init_key, step_keys = all_keys[0], all_keys[1:]
-    trajectory = jax.random.normal(init_key, (B, L, G, 9), dtype=jnp.float32)
+    """Sampler in normalized space (no unnormalize), for eval losses.
 
-    def step_fn(traj, inputs):
-        t, key = inputs
-        t_batch = jnp.full((B,), t, dtype=jnp.int32)
-        pred, head_yaw, weights = model.apply(
-            variables, traj, t_batch, fixed, method=DiffuserActor.denoise
-        )
-        pk, rk = jax.random.split(key)
-        prev_t = t - step_ratio
-        pos = pos_sched.step(pred[..., :3], t, traj[..., :3], key=pk,
-                             prev_t=prev_t)
-        rot = rot_sched.step(pred[..., 3:9], t, traj[..., 3:9], key=rk,
-                             prev_t=prev_t)
-        return jnp.concatenate([pos, rot], axis=-1), (pred[..., 9:], head_yaw, weights)
+    Thin wrapper over the production sampler (sample_trajectory
+    normalized=True) so the eval path can never drift from it again (a
+    previous copy here missed the reduced-schedule prev_t jump AND the
+    flash-attention None-weights guard).
+    """
+    from nvblox_mindmap_tpu.models.diffuser_actor import sample_trajectory
 
-    trajectory, (openness_seq, head_yaw_seq, weights_seq) = jax.lax.scan(
-        step_fn, trajectory, (timesteps, step_keys), unroll=min(5, T)
+    return sample_trajectory(
+        model, variables, prepared, rng,
+        workspace_bounds=None,  # unused in normalized mode
+        num_inference_steps=num_inference_steps,
+        scheduler_kind=scheduler_kind,
+        stochastic=(scheduler_kind == "ddpm"),
+        normalized=True,
     )
-    traj10 = jnp.concatenate([trajectory, openness_seq[-1]], axis=-1)
-    head_yaw = None if head_yaw_seq is None else head_yaw_seq[-1]
-    return traj10, head_yaw, jnp.mean(weights_seq, axis=0)

@@ -278,7 +278,9 @@ def parse_args(cls: Type, argv: Optional[List[str]] = None):
     fields = {f.name: f for f in dataclasses.fields(cls)}
     for name in fields:
         parser.add_argument(f"--{name}", type=str, default=None)
-    ns, _ = parser.parse_known_args(argv)
+    # Strict parsing: an unknown/misspelled flag must error (the reference's
+    # Tap CLI does), not silently train with the default value.
+    ns = parser.parse_args(argv)
     instance = cls()
     for name, field in fields.items():
         raw = getattr(ns, name)

@@ -290,3 +290,43 @@ def test_eval_sampler_reduced_schedule_fully_denoises(tmp_path):
     np.testing.assert_allclose(
         np.asarray(eval_unnorm), np.asarray(prod_traj), atol=1e-4
     )
+
+
+def test_eval_trims_non_divisible_batches_on_mesh(tmp_path):
+    """drop_last=False val batches whose size isn't divisible by the device
+    mesh are trimmed (not crashed on) during evaluation."""
+    from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActor  # noqa
+
+    model_cfg, trainer_cfg = small_configs(tmp_path)
+    mesh = make_data_mesh(jax.devices("cpu")[:8])
+    trainer = Trainer(
+        model_cfg, trainer_cfg,
+        np.asarray([[-0.4, -0.9, 0.1], [1.4, 0.9, 1.9]], np.float32),
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(0)
+    template = random_batch(rng, batch_size=8)
+    params, _ = trainer.init_state(template)
+
+    class OneOddBatchLoader:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield random_batch(np.random.default_rng(1), batch_size=11)
+
+    loss, metrics = trainer.evaluate_nsteps(
+        params, OneOddBatchLoader(), step=0, num_batches=1, split="val"
+    )
+    assert np.isfinite(loss)
+    assert "distance_m" in metrics
+
+
+def test_cli_rejects_unknown_flags():
+    """Misspelled flags must error (Tap parity), not silently use defaults."""
+    import pytest
+
+    from nvblox_mindmap_tpu.utils.config import TrainingAppArgs, parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(TrainingAppArgs, ["--learning_rate", "1e-5"])
