@@ -118,13 +118,7 @@ class ReplayEnvironment(EnvironmentBase):
         self.embodiment = embodiment
         self.camera_prefixes = camera_prefixes
         self._demo_path = demo_path
-        files = sorted(
-            glob.glob(os.path.join(demo_path, "*.robot_state.npy")),
-            key=lambda p: int(os.path.basename(p).split(".")[0]),
-        )
-        self.robot_states = np.stack(
-            [np.load(p, allow_pickle=True) for p in files]
-        ).astype(np.float32)
+        self.robot_states = DemoDataset.load_robot_states(demo_path)
         self.policy_states = embodiment.policy_states_from_robot_states(
             self.robot_states, use_keyposes=False
         )

@@ -65,16 +65,9 @@ class GroundTruthPolicy(PolicyBase):
         extra_keyposes_around_grasp_events,
         keypose_detection_mode: KeyposeDetectionMode,
     ) -> "GroundTruthPolicy":
-        import glob
-        import os
+        from nvblox_mindmap_tpu.data.dataset import DemoDataset
 
-        files = sorted(
-            glob.glob(os.path.join(demo_path, "*.robot_state.npy")),
-            key=lambda p: int(os.path.basename(p).split(".")[0]),
-        )
-        robot_states = np.stack([np.load(p, allow_pickle=True) for p in files]).astype(
-            np.float32
-        )
+        robot_states = DemoDataset.load_robot_states(demo_path)
         keyposes = embodiment.extract_keypose_indices(
             robot_states, extra_keyposes_around_grasp_events, keypose_detection_mode
         )

@@ -49,7 +49,9 @@ _MAX_MSG_BYTES = 1 << 30  # 1 GiB sanity bound on any single message
 def _enc(obj, out: list) -> None:
     if obj is None:
         out.append(b"N")
-    elif isinstance(obj, bool):
+    elif isinstance(obj, (bool, np.bool_)):
+        # np.bool_ is neither a Python bool nor np.integer - is_success()
+        # commonly returns one (e.g. `(dist < tol).all()`).
         out.append(b"T" if obj else b"F")
     elif isinstance(obj, (int, np.integer)):
         out.append(b"i" + _I64.pack(int(obj)))
@@ -237,12 +239,27 @@ class RemoteEnvironment(EnvironmentBase):
 def _handle_client(conn: socket.socket, env: EnvironmentBase, stop_event):
     try:
         while not stop_event.is_set():
+            # Poll for readability so stop() can interrupt an idle connected
+            # client (a blocking recv would park this thread past stop's
+            # join). Once a message starts arriving, _recv_msg reads it
+            # whole - polling only between messages keeps framing intact.
+            import select
+
+            readable, _, _ = select.select([conn], [], [], 0.5)
+            if not readable:
+                continue
             try:
                 request = _recv_msg(conn)
-            except (ConnectionError, EOFError):
+            except (ConnectionError, EOFError, ValueError, OSError):
+                # Disconnect or malformed message: drop this client, keep
+                # the server alive for the next one.
                 return
-            method = request["method"]
-            kwargs = request.get("kwargs", {})
+            try:
+                method = request["method"]
+                kwargs = request.get("kwargs", {})
+            except (KeyError, TypeError):
+                _try_send_error(conn, "malformed request")
+                continue
             try:
                 if method == "shutdown":
                     _send_msg(conn, {"result": None})
@@ -288,9 +305,24 @@ def _handle_client(conn: socket.socket, env: EnvironmentBase, stop_event):
                     raise ValueError(f"unknown method {method}")
                 _send_msg(conn, {"result": result})
             except Exception as e:  # report errors to the client, keep serving
-                _send_msg(conn, {"error": repr(e)})
+                if not _try_send_error(conn, repr(e)):
+                    return  # client gone mid-reply; drop it, keep the server
     finally:
         conn.close()
+
+
+def _try_send_error(conn, message: str) -> bool:
+    """Best-effort error reply; False if the client connection is dead.
+
+    A send failure inside the error path must not propagate - it would kill
+    the server's accept loop while the listener socket stays open, leaving
+    every future client hanging against a dead server.
+    """
+    try:
+        _send_msg(conn, {"error": message})
+        return True
+    except Exception:
+        return False
 
 
 class EnvironmentServer:
@@ -310,17 +342,35 @@ class EnvironmentServer:
 
     def _serve(self):
         self._listener.settimeout(0.5)
-        while not self._stop.is_set():
-            try:
-                conn, _ = self._listener.accept()
-            except socket.timeout:
-                continue
-            _handle_client(conn, self.env, self._stop)
-        self._listener.close()
+        try:
+            while not self._stop.is_set():
+                try:
+                    conn, _ = self._listener.accept()
+                except socket.timeout:
+                    continue
+                except OSError:
+                    return  # listener closed by stop()
+                # A crashing handler must never kill the accept loop: the
+                # port would stay bound against a dead server.
+                try:
+                    _handle_client(conn, self.env, self._stop)
+                except Exception:
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+        finally:
+            self._listener.close()
 
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # Close the listener even if the serve thread is wedged, so the
+        # port is released and a rebind cannot EADDRINUSE.
+        try:
+            self._listener.close()
+        except OSError:
+            pass
 
 
 def serve_environment(env: EnvironmentBase, host: str = "127.0.0.1",

@@ -206,7 +206,8 @@ class DemoDataset:
         outcome = DemoOutcome(int(np.load(os.path.join(demo_path, "demo_successful.npy"))))
         return outcome == DemoOutcome.SUCCESS
 
-    def load_robot_states(self, demo_path: str) -> np.ndarray:
+    @staticmethod
+    def load_robot_states(demo_path: str) -> np.ndarray:
         files = sorted(
             glob.glob(os.path.join(demo_path, "*.robot_state.npy")),
             key=lambda p: int(os.path.basename(p).split(".")[0]),

@@ -211,6 +211,10 @@ def get_highest_z_of_vertical_motion(
     return filtered, vertical_mask
 
 
+# NOTE (reference parity, keypose_estimation_base.py:314-332): with a single
+# grasp interval the condition end-of-first < idx < start-of-last is
+# unsatisfiable, so all vertical-motion keyposes are dropped - the reference
+# behaves identically by construction.
 def select_indices_between_grasps(
     indices: Sequence[int], grasp_intervals: Sequence[Tuple[int, int]]
 ) -> List[int]:

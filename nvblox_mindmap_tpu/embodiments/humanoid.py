@@ -167,6 +167,10 @@ class HumanoidEmbodiment(EmbodimentBase):
         )
 
     def _filter_close_intervals(self, intervals, demo_length):
+        # NOTE (reference parity, humanoid/keypose_estimation.py:387-425):
+        # the demo-boundary checks live INSIDE the pairwise loop, so a
+        # single-interval list is never boundary-filtered - the reference
+        # behaves identically and keypose parity tests pin this behavior.
         filtered = []
         for i, cur in enumerate(intervals):
             close = False

@@ -100,6 +100,11 @@ class VitFeatureExtractor(nn.Module):
     # output (the policy consumes patch features only, reference
     # RadioFeatureExtractorBase._extract_features_impl).
     num_prefix_tokens: int = 0
+    # DINOv2 checkpoints carry trained per-block LayerScale gammas
+    # (ls1/ls2, init_values=1.0 in the hub models); without them converted
+    # weights silently scale every residual branch by 1 instead of the
+    # trained value. RADIO/timm ViTs have no layer scale.
+    use_layer_scale: bool = False
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -139,18 +144,26 @@ class VitFeatureExtractor(nn.Module):
                 axis=1,
             )
 
+        def layer_scale(y, name):
+            if not self.use_layer_scale:
+                return y
+            gamma = self.param(name, nn.initializers.ones, (self.width,))
+            return y * gamma.astype(y.dtype)
+
         for i in range(self.depth):
             y = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(x).astype(jnp.bfloat16)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=jnp.bfloat16, name=f"attn_{i}"
             )(y, y)
-            x = x + y
+            x = x + layer_scale(y, f"ls1_{i}")
             y = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(x).astype(jnp.bfloat16)
             y = nn.Dense(int(self.width * self.mlp_ratio), dtype=jnp.bfloat16,
                          name=f"mlp1_{i}")(y)
-            y = nn.gelu(y)
+            # Exact (erf) GELU: the torch checkpoints were trained with
+            # nn.GELU default, not the tanh approximation.
+            y = nn.gelu(y, approximate=False)
             y = nn.Dense(self.width, dtype=jnp.bfloat16, name=f"mlp2_{i}")(y)
-            x = x + y
+            x = x + layer_scale(y, f"ls2_{i}")
 
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
         if self.num_prefix_tokens > 0:
@@ -195,6 +208,7 @@ def make_feature_extractor(
             feature_image_size=feature_image_size,
             mean_std=mean_std or NORMALIZATION[t],
             num_prefix_tokens=num_prefix_tokens,
+            use_layer_scale=True,  # DINOv2 hub blocks carry ls1/ls2 gammas
         )
     if t == FeatureExtractorType.CLIP_RESNET50_FPN:
         from nvblox_mindmap_tpu.models.clip_resnet_fpn import ClipResNet50Fpn

@@ -88,6 +88,11 @@ def convert_torch_vit_weights(
         b = f"blocks.{i}."
         params[f"ln1_{i}"] = _layernorm(sd[b + "norm1.weight"], sd[b + "norm1.bias"])
         params[f"ln2_{i}"] = _layernorm(sd[b + "norm2.weight"], sd[b + "norm2.bias"])
+        # DINOv2 LayerScale gammas (init_values=1.0 hub blocks). The flax
+        # module must be built with use_layer_scale=True to consume them.
+        if b + "ls1.gamma" in sd:
+            params[f"ls1_{i}"] = sd[b + "ls1.gamma"]
+            params[f"ls2_{i}"] = sd[b + "ls2.gamma"]
 
         qkv_w = sd[b + "attn.qkv.weight"]  # (3E, E)
         qkv_b = sd[b + "attn.qkv.bias"]

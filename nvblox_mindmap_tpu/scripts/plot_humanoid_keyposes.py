@@ -21,13 +21,9 @@ from nvblox_mindmap_tpu.embodiments.humanoid import HumanoidEmbodiment
 
 
 def load_robot_states(demo_path: str) -> np.ndarray:
-    paths = sorted(
-        glob.glob(os.path.join(demo_path, "*.robot_state.npy")),
-        key=lambda p: int(os.path.basename(p).split(".")[0]),
-    )
-    if not paths:
-        raise ValueError(f"no robot states in {demo_path}")
-    return np.stack([np.load(p) for p in paths]).astype(np.float32)
+    from nvblox_mindmap_tpu.data.dataset import DemoDataset
+
+    return DemoDataset.load_robot_states(demo_path)
 
 
 def analyze_demo(demo_path: str, output_dir: str = None,

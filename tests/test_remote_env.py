@@ -94,3 +94,57 @@ def test_server_binds_loopback_by_default():
 
     sig = inspect.signature(serve_environment)
     assert sig.parameters["host"].default == "127.0.0.1"
+
+
+def test_server_survives_bad_requests_and_np_bool(tmp_path):
+    """np.bool_ results serialize; malformed requests and client crashes do
+    not kill the accept loop; stop() releases the port with an idle client."""
+    import socket
+    import struct
+    import time
+
+    from nvblox_mindmap_tpu.closed_loop.environment import EnvironmentBase
+    from nvblox_mindmap_tpu.closed_loop.remote_env import (
+        EnvironmentServer,
+        RemoteEnvironment,
+    )
+
+    class BoolEnv(EnvironmentBase):
+        def reset(self):
+            pass
+
+        def step(self, goal):
+            pass
+
+        def get_robot_state(self):
+            return np.zeros(8, np.float32)
+
+        def get_policy_state(self):
+            return np.zeros(8, np.float32)
+
+        def get_cameras(self):
+            return {}
+
+        def is_success(self):
+            return np.bool_(True)  # numpy bool, not Python bool
+
+    server = EnvironmentServer(BoolEnv(), port=0).start()
+    try:
+        # 1. A garbage client must not kill the server.
+        raw = socket.create_connection(("127.0.0.1", server.port))
+        raw.sendall(struct.pack("<q", 12) + b"notamessage!")
+        raw.close()
+        time.sleep(0.3)
+
+        # 2. A real client still works afterwards; np.bool_ round-trips.
+        env = RemoteEnvironment("127.0.0.1", server.port)
+        assert env.is_success() is True
+        # Keep this client CONNECTED and idle while stopping.
+        server.stop()
+    finally:
+        server.stop()
+    # 3. The port is released (rebind succeeds).
+    probe = socket.socket()
+    probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    probe.bind(("127.0.0.1", server.port))
+    probe.close()

@@ -266,3 +266,45 @@ def test_variables_npz_roundtrip_and_graft(tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError, match="graft"):
         graft_subtree(variables, "params/missing", new)
+
+
+def test_layer_scale_conversion_and_forward_effect():
+    """DINOv2 LayerScale gammas (ls1/ls2) are converted and actually scale
+    the residual branches (previously silently dropped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.models.feature_extractors import VitFeatureExtractor
+    from nvblox_mindmap_tpu.models.weight_conversion import (
+        convert_torch_vit_weights,
+    )
+    from tests.test_pretrained_wiring import make_random_vit_sd
+
+    sd = make_random_vit_sd(width=32, depth=2, patch=4, grid=4, seed=0)
+    # Add trained LayerScale gammas like the DINOv2 hub blocks.
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        sd[f"blocks.{i}.ls1.gamma"] = rng.uniform(0.3, 1.5, 32).astype(
+            np.float32
+        )
+        sd[f"blocks.{i}.ls2.gamma"] = rng.uniform(0.3, 1.5, 32).astype(
+            np.float32
+        )
+    params = convert_torch_vit_weights(sd, depth=2, num_heads=4,
+                                       num_prefix_tokens=1)
+    assert "ls1_0" in params and "ls2_1" in params
+    np.testing.assert_array_equal(params["ls1_0"],
+                                  sd["blocks.0.ls1.gamma"])
+
+    module = VitFeatureExtractor(
+        patch_size=4, width=32, depth=2, num_heads=4,
+        feature_image_size=(4, 4), num_prefix_tokens=1, use_layer_scale=True,
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    out = module.apply({"params": params}, x)
+    # Setting all gammas to 1 changes the output (the gammas are live).
+    ones = dict(params)
+    for k in ("ls1_0", "ls1_1", "ls2_0", "ls2_1"):
+        ones[k] = np.ones_like(params[k])
+    out_ones = module.apply({"params": ones}, x)
+    assert not np.allclose(np.asarray(out), np.asarray(out_ones), atol=1e-4)
