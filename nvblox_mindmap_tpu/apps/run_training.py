@@ -111,6 +111,18 @@ def main(argv=None):
     checkpoint_dir = os.path.join(
         args.base_log_dir, "checkpoints", datetime.today().strftime("%Y.%m.%d-%H.%M.%S")
     )
+    # Stable handle for chained workflows (train -> eval handoff): the
+    # timestamped dir is unpredictable at spec-generation time, so refresh a
+    # 'latest' symlink next to it (workflows/submit.py points at
+    # checkpoints/latest/best.ckpt).
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    latest = os.path.join(args.base_log_dir, "checkpoints", "latest")
+    try:
+        if os.path.islink(latest) or os.path.exists(latest):
+            os.unlink(latest)
+        os.symlink(os.path.basename(checkpoint_dir), latest)
+    except OSError:
+        pass  # filesystems without symlinks: workflows must pass explicit paths
     trainer_config = TrainerConfig(
         train_iters=args.train_iters,
         batch_size=args.batch_size,

@@ -33,6 +33,11 @@ class WeightedEpochSampler:
         self.weights = np.asarray(weights, dtype=np.float64)
         self.num_samples = num_samples or len(self.weights)
         self.replacement = replacement
+        if not replacement:
+            # A permutation can yield at most len(weights) indices; clamping
+            # keeps __len__ consistent with what iteration produces (the
+            # trainer's epoch accounting is derived from len()).
+            self.num_samples = min(self.num_samples, len(self.weights))
         self.seed = seed
         self.num_shards = num_shards
         self.shard_index = shard_index

@@ -90,7 +90,23 @@ def build_backbone(
         mean_std=_mean_std_from(loaded),
         num_prefix_tokens=_num_prefix_tokens_from(loaded["params"]),
     )
-    return module, loaded["params"]
+    params = loaded["params"]
+    if FeatureExtractorType(feature_type) == FeatureExtractorType.CLIP_RESNET50_FPN:
+        # CLIP checkpoints may carry only the frozen trunk ('backbone'); the
+        # module also needs FPN params - init fresh ones and graft the trunk
+        # (same behavior as graft_backbone_into_model_params; reference
+        # feature_extraction.py:434-442 trains the FPN when no fpn_path).
+        if "fpn" not in params:
+            import jax
+
+            H = feature_image_size[0] * 16
+            fresh = module.init(
+                jax.random.PRNGKey(0), np.zeros((1, H, H, 3), np.float32)
+            )["params"]
+            fresh = dict(fresh)
+            fresh["backbone"] = params["backbone"]
+            params = fresh
+    return module, params
 
 
 def graft_backbone_into_model_params(

@@ -64,6 +64,12 @@ def make_sharded_infer_fn(
             model, {"params": params}, prepared, key, bounds, **kwargs
         )
 
+    # Replicate the params ONCE per distinct tree: re-replicating on every
+    # request would broadcast the whole parameter tree per call, dwarfing a
+    # DDIM-10 sampling step. Keyed by object identity (params rarely change
+    # between requests; a swap re-replicates).
+    cache = {"id": None, "replicated": None}
+
     def infer(params, batch, key):
         n = mesh.devices.size
         lead = next(
@@ -74,8 +80,9 @@ def make_sharded_infer_fn(
             raise ValueError(
                 f"serving batch size {lead} not divisible by mesh size {n}"
             )
-        return _infer(
-            replicate(params, mesh), shard_batch(batch, mesh), key
-        )
+        if cache["id"] is not id(params):
+            cache["replicated"] = replicate(params, mesh)
+            cache["id"] = id(params)
+        return _infer(cache["replicated"], shard_batch(batch, mesh), key)
 
     return infer

@@ -79,8 +79,11 @@ def save_checkpoint(
         save_checkpoint_file(
             os.path.join(checkpoint_dir, "best.ckpt"), params, opt_state, step, best_loss
         )
+    # last.ckpt records the RUNNING best (reference checkpoint.py:42-50):
+    # storing the (possibly worse) new_loss would let a later mediocre eval
+    # overwrite best.ckpt after a resume.
     save_checkpoint_file(
-        os.path.join(checkpoint_dir, "last.ckpt"), params, opt_state, step, new_loss
+        os.path.join(checkpoint_dir, "last.ckpt"), params, opt_state, step, best_loss
     )
     return best_loss
 

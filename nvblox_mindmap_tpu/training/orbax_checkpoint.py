@@ -47,7 +47,8 @@ class OrbaxCheckpointer:
         if new_loss is not None and (best_loss is None or new_loss <= best_loss):
             best_loss = new_loss
             self.save("best", params, opt_state, step, best_loss)
-        self.save("last", params, opt_state, step, new_loss)
+        # last records the RUNNING best (reference checkpoint.py:42-50).
+        self.save("last", params, opt_state, step, best_loss)
         return best_loss
 
     def restore(self, name: str, params_template: Any, opt_state_template: Any

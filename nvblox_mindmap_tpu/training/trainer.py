@@ -470,11 +470,16 @@ class Trainer:
                     cfg.num_batches_per_test_eval,
                     split="val",
                 )
-                if cfg.save_checkpoint and jax.process_index() == 0:
-                    best_loss = self._save_best_and_last(
-                        cfg, params, opt_state, step, new_loss, best_loss
-                    )
-                    if args_dict is not None:
+                if cfg.save_checkpoint:
+                    # Orbax save is a COLLECTIVE (all hosts must enter -
+                    # it opens with a cross-process barrier); only the
+                    # single-file msgpack writer is rank-0-only.
+                    if (cfg.checkpoint_backend == "orbax"
+                            or jax.process_index() == 0):
+                        best_loss = self._save_best_and_last(
+                            cfg, params, opt_state, step, new_loss, best_loss
+                        )
+                    if args_dict is not None and jax.process_index() == 0:
                         save_training_args(cfg.checkpoint_dir, args_dict)
             step_timer.stop()
             if step % cfg.print_timers_freq == 0 and step > 0:
@@ -504,9 +509,22 @@ class Trainer:
     def load_checkpoint(self, path: str, batch_template: Dict[str, Any]):
         params, opt_state = self.init_state(batch_template)
         params_t, opt_t = jax.device_get((params, opt_state))
-        params, opt_state, step, best_loss = load_checkpoint_file(
-            path, params_t, opt_t
-        )
+        if os.path.isdir(path):
+            # Orbax checkpoints are directories; route to that backend so
+            # orbax-trained runs can resume/evaluate like msgpack ones.
+            from nvblox_mindmap_tpu.training.orbax_checkpoint import (
+                OrbaxCheckpointer,
+            )
+
+            ckptr = OrbaxCheckpointer(os.path.dirname(path.rstrip("/")),
+                                      async_write=False)
+            params, opt_state, step, best_loss = ckptr.restore(
+                os.path.basename(path.rstrip("/")), params_t, opt_t
+            )
+        else:
+            params, opt_state, step, best_loss = load_checkpoint_file(
+                path, params_t, opt_t
+            )
         params = replicate(params, self.mesh)
         opt_state = replicate(opt_state, self.mesh)
         return params, opt_state, step, best_loss

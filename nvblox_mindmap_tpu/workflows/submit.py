@@ -99,7 +99,7 @@ def make_train_and_eval_workflow(task: str, dataset: str, demos_train: str,
         name=f"evaluation-{task}",
         kind="evaluation",
         args=["--task", task, "--dataset", dataset,
-              "--checkpoint", f"{checkpoint_dir}/best.ckpt",
+              "--checkpoint", f"{checkpoint_dir}/checkpoints/latest/best.ckpt",
               "--demos_closed_loop", demos_eval],
         depends_on=[train.name],
     )
@@ -126,7 +126,7 @@ def make_e2e_workflow(task: str, hdf5_file: str, workdir: str,
         name=f"evaluation-{task}",
         kind="evaluation",
         args=["--task", task, "--dataset", f"{workdir}/dataset",
-              "--checkpoint", f"{workdir}/train/best.ckpt",
+              "--checkpoint", f"{workdir}/train/checkpoints/latest/best.ckpt",
               "--demos_closed_loop", demos],
         depends_on=[train.name],
     )

@@ -178,3 +178,38 @@ def test_prefix_token_mismatch_is_loud(tmp_path):
         graft_backbone_into_model_params(
             fake_params, FeatureExtractorType.RADIO_V25_B, path
         )
+
+
+def test_clip_trunk_only_checkpoint_gets_fresh_fpn(tmp_path):
+    """build_backbone with a trunk-only CLIP npz (what the converter emits
+    without --fpn) must init fresh FPN params and graft the trunk - the
+    module cannot apply with backbone params alone."""
+    from nvblox_mindmap_tpu.models.feature_extractors import (
+        make_feature_extractor,
+    )
+    from nvblox_mindmap_tpu.models.pretrained import build_backbone
+    from nvblox_mindmap_tpu.models.weight_conversion import save_variables_npz
+
+    module = make_feature_extractor(
+        FeatureExtractorType.CLIP_RESNET50_FPN, feature_image_size=(4, 4)
+    )
+    full = jax.jit(module.init)(
+        jax.random.PRNGKey(1), np.zeros((1, 64, 64, 3), np.float32)
+    )["params"]
+    path = str(tmp_path / "clip_trunk.npz")
+    save_variables_npz(path, {"params": {"backbone": full["backbone"]}})
+
+    module2, params = build_backbone(
+        FeatureExtractorType.CLIP_RESNET50_FPN, path, feature_image_size=(4, 4)
+    )
+    assert "fpn" in params, "fresh FPN params must be initialized"
+    # Trunk comes from the checkpoint bit-exactly.
+    a = jax.tree_util.tree_leaves(params["backbone"])
+    b = jax.tree_util.tree_leaves(full["backbone"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # And the module actually applies with the assembled params.
+    out = module2.apply(
+        {"params": params}, np.zeros((1, 64, 64, 3), np.float32)
+    )
+    assert np.asarray(out).ndim == 4

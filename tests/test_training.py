@@ -330,3 +330,63 @@ def test_cli_rejects_unknown_flags():
 
     with pytest.raises(SystemExit):
         parse_args(TrainingAppArgs, ["--learning_rate", "1e-5"])
+
+
+def test_last_checkpoint_records_running_best(tmp_path):
+    """last.ckpt stores the RUNNING best loss (reference checkpoint.py:42-50):
+    resuming after a bad eval must not let a mediocre later eval overwrite
+    best.ckpt."""
+    from nvblox_mindmap_tpu.training.checkpoint import (
+        load_checkpoint_file,
+        save_checkpoint,
+    )
+
+    params = {"w": np.ones(3, np.float32)}
+    best = save_checkpoint(str(tmp_path), params, None, 1, 0.3, None)
+    assert best == 0.3
+    # Loss spikes: best stays 0.3 and last must record 0.3, not 0.9.
+    best = save_checkpoint(str(tmp_path), params, None, 2, 0.9, best)
+    assert best == 0.3
+    _, _, step, stored_best = load_checkpoint_file(
+        str(tmp_path / "last.ckpt"), params
+    )
+    assert step == 2 and stored_best == 0.3
+
+
+def test_orbax_checkpoint_loads_through_trainer(tmp_path):
+    """Orbax-trained checkpoints (directories) must load through the same
+    Trainer.load_checkpoint path the apps use."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    model_cfg, trainer_cfg = small_configs(tmp_path)
+    trainer_cfg.checkpoint_backend = "orbax"
+    trainer = Trainer(model_cfg, trainer_cfg, BOUNDS)
+    template = make_train_batch_template(model_cfg, batch_size=4)
+    params, opt_state = trainer.init_state(template)
+
+    from nvblox_mindmap_tpu.training.orbax_checkpoint import OrbaxCheckpointer
+
+    ckptr = OrbaxCheckpointer(trainer_cfg.checkpoint_dir, async_write=False)
+    ckptr.save_best_and_last(
+        jax.device_get(params), jax.device_get(opt_state), 5, 0.4, None
+    )
+    p2, o2, step, best = trainer.load_checkpoint(
+        str(tmp_path / "ckpt" / "best"), template
+    )
+    assert step == 5 and best == 0.4
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(jax.device_get(a), jax.device_get(b))
+
+
+def test_weighted_sampler_len_matches_iteration():
+    """replacement=False clamps num_samples to the dataset size so len()
+    equals what iteration yields (epoch accounting depends on it)."""
+    from nvblox_mindmap_tpu.data.sampler import WeightedEpochSampler
+
+    s = WeightedEpochSampler(
+        np.ones(10), num_samples=15, replacement=False, num_shards=2,
+        shard_index=0,
+    )
+    assert len(s) == len(list(iter(s)))

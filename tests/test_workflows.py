@@ -33,4 +33,7 @@ def test_train_and_eval_artifact_flow():
     wf = make_train_and_eval_workflow("mug_in_drawer", "/data", "0-5", "6-9",
                                       "/ckpt")
     eval_stage = wf["stages"][1]
-    assert "/ckpt/best.ckpt" in eval_stage["command"]
+    # The eval stage points at the STABLE latest symlink run_training
+    # refreshes (the timestamped checkpoint dir is unpredictable at
+    # spec-generation time).
+    assert "/ckpt/checkpoints/latest/best.ckpt" in eval_stage["command"]
