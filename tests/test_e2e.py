@@ -50,7 +50,12 @@ def test_training_app_e2e(dataset_dir, tmp_path):
     log_dir = str(tmp_path / "logs")
     train_main(small_train_argv(dataset_dir, log_dir))
 
-    ckpts = glob.glob(os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))
+    # The stable 'latest' symlink plus the timestamped dir both match the
+    # glob; dedupe by real path (exactly one actual checkpoint).
+    ckpts = sorted(
+        {os.path.realpath(p) for p in glob.glob(
+            os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))}
+    )
     assert len(ckpts) == 1
     ckpt_dir = os.path.dirname(ckpts[0])
     assert os.path.isfile(os.path.join(ckpt_dir, "best.ckpt"))
@@ -170,7 +175,12 @@ def test_radio_backbone_datagen_training_open_loop(tmp_path):
             "--base_log_dir", log_dir,
         ]
     )
-    ckpts = glob.glob(os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))
+    # The stable 'latest' symlink plus the timestamped dir both match the
+    # glob; dedupe by real path (exactly one actual checkpoint).
+    ckpts = sorted(
+        {os.path.realpath(p) for p in glob.glob(
+            os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))}
+    )
     assert len(ckpts) == 1
 
     from nvblox_mindmap_tpu.apps.run_open_loop_policy import main as open_loop_main
@@ -220,7 +230,12 @@ def test_humanoid_training_app_e2e(tmp_path):
             "--seed", "0",
         ]
     )
-    ckpts = glob.glob(os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))
+    # The stable 'latest' symlink plus the timestamped dir both match the
+    # glob; dedupe by real path (exactly one actual checkpoint).
+    ckpts = sorted(
+        {os.path.realpath(p) for p in glob.glob(
+            os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))}
+    )
     assert len(ckpts) == 1
 
     from nvblox_mindmap_tpu.apps.run_open_loop_policy import main as open_loop_main
