@@ -11,7 +11,6 @@ format bit-for-bit.
 """
 from __future__ import annotations
 
-import glob
 import logging
 import os
 
@@ -46,6 +45,8 @@ def process_demo(
     save_serialized_map: bool = False,
     max_num_steps: int = -1,
     include_dynamic: bool = False,
+    add_depth_noise: bool = False,
+    noise_rng: "np.random.Generator" = None,
 ):
     """Fuse one demo's frames; write per-frame feature meshes."""
     prefixes = (
@@ -65,6 +66,15 @@ def process_demo(
         with Timer("datagen/decay"):
             mapper.decay()
         for frame in env.get_cameras().values():
+            depth = frame.depth
+            if add_depth_noise:
+                # Sensor-like robustness augmentation (reference:
+                # run_isaaclab_datagen --add_depth_noise).
+                from nvblox_mindmap_tpu.image.conversions import (
+                    add_depth_noise as add_noise,
+                )
+
+                depth = add_noise(depth, noise_rng)
             with Timer("datagen/compute_features"):
                 features = np.asarray(feature_fn(frame.rgb))
             dynamic_mask = dynamic_mask_from_segmentation(
@@ -76,7 +86,7 @@ def process_demo(
                 nvblox_integrate(
                     mapper,
                     mapping_config,
-                    frame.depth,
+                    depth,
                     features,
                     frame.intrinsics,
                     pose7_to_matrix(frame.pose7),
@@ -105,9 +115,11 @@ def process_demo(
                 MapperId.DYNAMIC,
             )
     # Mark success if no outcome file exists yet.
+    from nvblox_mindmap_tpu.data.dataset import DemoOutcome
+
     outcome_path = os.path.join(demo_path, "demo_successful.npy")
     if not os.path.exists(outcome_path):
-        np.save(outcome_path, np.asarray(1))
+        np.save(outcome_path, np.asarray(DemoOutcome.SUCCESS.value))
     logger.info("Fused %d frames for %s", n, demo_path)
 
 
@@ -141,13 +153,22 @@ def main(argv=None):
         args.task,
         feature_dim=get_feature_dim(args.feature_type),
         voxel_size_m=args.voxel_size_m,
+        projective_appearance_integrator_measurement_weight=(
+            args.projective_appearance_integrator_measurement_weight
+        ),
     )
+    if args.max_num_attempts != 5:
+        logger.warning(
+            "--max_num_attempts has no effect: replay datagen is "
+            "deterministic (sim-side retries happen on the Isaac host)"
+        )
     feature_fn = make_mapping_feature_fn(
         args.feature_type,
         mapping_config.upscaled_feature_image_size,
         backbone_weights=args.backbone_weights,
         feature_image_size=tuple(args.feature_image_size),
     )
+    noise_rng = np.random.default_rng(args.seed)
     for demo_path in get_demo_paths(dataset, args.demos_datagen):
         process_demo(
             demo_path,
@@ -157,6 +178,19 @@ def main(argv=None):
             save_serialized_map=args.save_serialized_nvblox_map_to_disk,
             max_num_steps=args.max_num_steps,
             include_dynamic=args.include_dynamic,
+            add_depth_noise=args.add_depth_noise,
+            noise_rng=noise_rng,
+        )
+    if args.validate_demos_with_gt_poses:
+        # GT-keypose validation pass (reference run_isaaclab_datagen
+        # validate_demos_with_gt_poses): demos whose extracted keyposes
+        # cannot be executed are marked FAILED_GT_EVAL and excluded from
+        # training by the dataset's success filter.
+        from nvblox_mindmap_tpu.apps.run_validate_demos import main as validate
+
+        validate(
+            argv=[], task=args.task, dataset=dataset,
+            demos=args.demos_datagen,
         )
     logger.info("\n%s", timer_status_string())
 

@@ -55,9 +55,7 @@ def run_inference(infer, model, params, batch: Dict, bounds, key
     traj, head_yaw, weights = infer(params, batch, key)
     # None under the flash-attention inference swap (no weights materialized).
     result_weights = None if weights is None else np.asarray(weights)
-    gt = jnp.concatenate(
-        [batch["gt_gripper_pred"][..., :7], batch["gt_gripper_pred"][..., 7:]], axis=-1
-    )
+    gt = batch["gt_gripper_pred"]
     metrics = compute_metrics(
         traj,
         head_yaw,
@@ -137,6 +135,12 @@ def main(argv=None):
             metric_sums[k] = metric_sums.get(k, 0.0) + v
         count += 1
     means = {k: (v / count).tolist() for k, v in metric_sums.items()}
+    # Strict JSON: NaN tokens (e.g. from degenerate metrics) are not valid
+    # JSON - downstream parsers choke on them.
+    means = {
+        k: (None if isinstance(v, float) and v != v else v)
+        for k, v in means.items()
+    }
     logger.info("Open-loop metrics over %d samples:\n%s", count,
                 json.dumps(means, indent=2, default=str))
     return means

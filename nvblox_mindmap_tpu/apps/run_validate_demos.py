@@ -18,17 +18,21 @@ from nvblox_mindmap_tpu.closed_loop.policies import GroundTruthPolicy
 from nvblox_mindmap_tpu.closed_loop.runner import ClosedLoopConfig, run_one_episode
 from nvblox_mindmap_tpu.data.dataset import DemoOutcome, get_demo_paths
 from nvblox_mindmap_tpu.embodiments.registry import make_embodiment_for_task
-from nvblox_mindmap_tpu.utils.config import ValidateDemosAppArgs, parse_args
+from nvblox_mindmap_tpu.utils.config import ClosedLoopAppArgs, parse_args
 
 logger = logging.getLogger("nvblox_mindmap_tpu.run_validate_demos")
 
 
 def main(argv=None, task=None, dataset=None, demos=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(message)s")
-    args = parse_args(ValidateDemosAppArgs, argv)
+    # The reference's validate app parses ClosedLoopAppArgs (its
+    # ValidateDemosAppArgs class is dead code without a task field;
+    # run_validate_demos.py:44) - task/dataset come from the full arg set.
+    args = parse_args(ClosedLoopAppArgs, argv)
+    task = task or args.task
     dataset = dataset or args.dataset
     demos = demos or args.demos_closed_loop
-    assert task is not None and dataset is not None
+    assert task is not None and dataset is not None, "--task and --dataset required"
 
     from nvblox_mindmap_tpu.embodiments.registry import (
         TASK_TO_EXTRA_KEYPOSES_AROUND_GRASP_EVENTS,
@@ -51,7 +55,11 @@ def main(argv=None, task=None, dataset=None, demos=None):
         policy = GroundTruthPolicy(np.stack(gt.goals[1:])) if len(gt.goals) > 1 else gt
         success = run_one_episode(
             env, policy, embodiment, evaluator,
-            ClosedLoopConfig(max_num_steps_to_goal=args.max_num_steps_to_goal),
+            ClosedLoopConfig(
+                max_num_steps_to_goal=args.max_num_steps_to_goal,
+                max_intermediate_distance_m=args.max_intermediate_distance_m,
+                terminate_after_n_steps=args.terminate_after_n_steps,
+            ),
         )
         results[demo_path] = success
         if not success:

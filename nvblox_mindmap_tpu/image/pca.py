@@ -19,17 +19,36 @@ class PcaProjection(NamedTuple):
 
 
 def fit_pca(features: np.ndarray, num_components: int = 3) -> PcaProjection:
-    """Fit a PCA basis on (N, C) features via SVD."""
+    """Fit a PCA basis on (N, C) features.
+
+    Reference semantics (image_processing/pca.py:54-68): zero rows (padded /
+    never-integrated features) are excluded from the basis fit; projection
+    at apply time is UNcentered (mean stays 0 in the returned projection,
+    pinned by tests/test_reference_image_parity.py); display bounds are the
+    1%/99% quantiles of all rows' projections. The basis comes from an
+    eigendecomposition of the C x C covariance - same components as an SVD
+    of the (N, C) matrix at a fraction of the time/memory for dataset-scale
+    fits.
+    """
     features = np.asarray(features, dtype=np.float64)
-    mean = features.mean(axis=0)
-    centered = features - mean
-    # Economy SVD; right singular vectors = principal axes.
-    _, _, vt = np.linalg.svd(centered, full_matrices=False)
-    components = vt[:num_components].T  # (C, k)
-    projected = centered @ components
-    lo = projected.min(axis=0)
-    hi = projected.max(axis=0)
-    return PcaProjection(mean, components, lo, hi)
+    valid = ~np.all(features == 0, axis=-1)
+    nonzero = features[valid] if valid.any() else features
+    mean = nonzero.mean(axis=0)
+    centered = nonzero - mean
+    cov = centered.T @ centered  # (C, C)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    components = eigvecs[:, ::-1][:, :num_components]  # descending variance
+    if components.shape[1] < num_components:
+        # Degenerate inputs (fewer samples than components): zero-pad so
+        # apply_pca's (..., 3) reshape stays valid.
+        pad = num_components - components.shape[1]
+        components = np.concatenate(
+            [components, np.zeros((components.shape[0], pad))], axis=1
+        )
+    projected = features @ components  # uncentered, like the reference
+    lo = np.quantile(projected, 0.01, axis=0)
+    hi = np.quantile(projected, 0.99, axis=0)
+    return PcaProjection(np.zeros_like(mean), components, lo, hi)
 
 
 def apply_pca(

@@ -109,7 +109,9 @@ class MappingConfig:
     @classmethod
     def for_task(cls, task: Tasks, feature_dim: int = FEATURE_ARRAY_NUM_ELEMENTS,
                  voxel_size_m: float | None = None,
-                 max_feature_pages: int = 1024) -> "MappingConfig":
+                 max_feature_pages: int = 1024,
+                 projective_appearance_integrator_measurement_weight:
+                 float | None = None) -> "MappingConfig":
         task_cfg = TASK_TO_NVBLOX_MAPPER_CFG[task]
         common = COMMON_NVBLOX_MAPPER_CFG
         return cls(
@@ -121,9 +123,14 @@ class MappingConfig:
                 "projective_integrator_max_integration_distance_m"
             ],
             min_integration_distance_m=task_cfg["min_integration_distance_m"],
-            projective_appearance_integrator_measurement_weight=common[
-                "projective_appearance_integrator_measurement_weight"
-            ],
+            projective_appearance_integrator_measurement_weight=(
+                projective_appearance_integrator_measurement_weight
+                if projective_appearance_integrator_measurement_weight
+                is not None
+                else common[
+                    "projective_appearance_integrator_measurement_weight"
+                ]
+            ),
             unobserved_value=common["unobserved_value"],
             upscaled_feature_image_size=common["upscaled_feature_image_size"],
             feature_mask_border_percent=common["feature_mask_border_percent"],

@@ -122,10 +122,14 @@ def compute_metrics(
     metrics["distance_m_x"] = jnp.mean(d_axis[..., 0])
     metrics["distance_m_y"] = jnp.mean(d_axis[..., 1])
     metrics["distance_m_z"] = jnp.mean(d_axis[..., 2])
-    metrics["distance_m_std"] = jnp.std(d_norm, ddof=1)
-    metrics["distance_m_std_x"] = jnp.std(d_axis[..., 0], ddof=1)
-    metrics["distance_m_std_y"] = jnp.std(d_axis[..., 1], ddof=1)
-    metrics["distance_m_std_z"] = jnp.std(d_axis[..., 2], ddof=1)
+    # ddof=1 (reference torch.std unbiased) NaNs on a single sample (the
+    # reference does too, batch-size-1 open loop); report 0 instead so the
+    # metrics stay finite and JSON-serializable. Documented divergence.
+    std_ddof = 1 if d_norm.size > 1 else 0
+    metrics["distance_m_std"] = jnp.std(d_norm, ddof=std_ddof)
+    metrics["distance_m_std_x"] = jnp.std(d_axis[..., 0], ddof=std_ddof)
+    metrics["distance_m_std_y"] = jnp.std(d_axis[..., 1], ddof=std_ddof)
+    metrics["distance_m_std_z"] = jnp.std(d_axis[..., 2], ddof=std_ddof)
     metrics["bias"] = jnp.mean(pred_trans - gt_trans, axis=(0, 1, 2))
 
     metrics["rot_l1"] = jnp.mean(jnp.sum(jnp.abs(pred_rot - gt_rot), axis=-1))
