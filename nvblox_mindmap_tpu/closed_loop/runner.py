@@ -49,8 +49,11 @@ def run_one_episode(
     for _ in range(NUM_WARMUP_STEPS):
         env.step(None)
 
-    goal_queue: List[np.ndarray] = []
+    # Queue entries are (goal, is_intermediate): intermediates get the
+    # reference's relaxed reached-check (goals.py is_goal_reached).
+    goal_queue: List = []
     current_goal: Optional[np.ndarray] = None
+    current_is_intermediate = False
     steps_to_goal = 0
     max_steps = config.max_num_steps
     if config.terminate_after_n_steps is not None:
@@ -62,7 +65,11 @@ def run_one_episode(
 
         need_new_goal = current_goal is None
         if current_goal is not None:
-            if is_goal_reached(embodiment, state, current_goal):
+            if is_goal_reached(
+                embodiment, state, current_goal,
+                is_intermediate_goal=current_is_intermediate,
+                max_intermediate_distance_m=config.max_intermediate_distance_m,
+            ):
                 current_goal = None
                 steps_to_goal = 0
                 need_new_goal = not goal_queue
@@ -80,13 +87,13 @@ def run_one_episode(
                 # Policy exhausted (e.g. GT policy out of keyposes).
                 evaluator.evaluate_step(env)
                 break
-            new_goals, _ = add_intermediate_goals(
+            new_goals, intermediate_flags = add_intermediate_goals(
                 embodiment, state, new_goals, config.max_intermediate_distance_m
             )
-            goal_queue.extend(new_goals)
+            goal_queue.extend(zip(new_goals, intermediate_flags))
 
         if current_goal is None and goal_queue:
-            current_goal = goal_queue.pop(0)
+            current_goal, current_is_intermediate = goal_queue.pop(0)
             steps_to_goal = 0
 
         env.step(current_goal)

@@ -34,7 +34,9 @@ def surface_nets(
         tsdf: (X, Y, Z) signed distances.
         weight: (X, Y, Z) observation weights (0 = unobserved).
         voxel_size: meters per voxel.
-        origin: (3,) world position of voxel (0,0,0)'s center.
+        origin: (3,) world position of the GRID CORNER (aabb_min); voxel
+            (i,j,k)'s center is origin + (idx + 0.5) * voxel_size, matching
+            voxel_grid.voxel_centers_flat.
 
     Returns:
         (vertices (V, 3) float32,
@@ -132,7 +134,10 @@ def surface_nets(
         coords = np.argwhere(change)
         if len(coords) == 0:
             continue
-        flips = ea[tuple(coords.T)]  # orientation by sign direction
+        # Orientation by sign direction; axis=1's (o1, o2) = (0, 2) is a
+        # left-handed frame around +y (x-hat cross z-hat = -y-hat), so its
+        # winding is inverted to keep all faces consistently oriented.
+        flips = ea[tuple(coords.T)] ^ (axis == 1)
         quads = []
         ok = np.ones(len(coords), dtype=bool)
         for d1 in (0, 1):

@@ -698,7 +698,12 @@ def _surface_nets_device_jit(tsdf, weight, config: MappingConfig,
                 ids4.append(cid.reshape(-1))
         quad_ids.append(jnp.stack(ids4, axis=-1))  # (E, 4)
         quad_flags.append(ok.reshape(-1))
-        quad_flips.append(ea.reshape(-1))
+        # (o1, o2) for axis=1 is (0, 2): x-hat cross z-hat = -y-hat, a
+        # LEFT-handed quad frame around the edge direction - invert the
+        # winding for that axis so all faces orient consistently.
+        quad_flips.append(
+            ea.reshape(-1) ^ (axis == 1)
+        )
     quad_ids = jnp.concatenate(quad_ids, axis=0)
     quad_flags = jnp.concatenate(quad_flags, axis=0)
     quad_flips = jnp.concatenate(quad_flips, axis=0)

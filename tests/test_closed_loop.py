@@ -461,3 +461,28 @@ def test_live_policy_include_dynamic_feeds_combined_mesh(tmp_path):
     dyn_v, _ = get_vertices_and_features(
         policy.mapper, MapperId.DYNAMIC, remove_zero_features=True)
     assert dyn_v.shape[0] > 0, "dynamic mapper should have fused the blob"
+
+
+def test_intermediate_goals_use_relaxed_threshold():
+    """Intermediate SLERP goals are transient set points: the reference only
+    requires position error < max_intermediate_distance_m/2 for them
+    (humanoid/embodiment.py:330-341) - the tight final-goal thresholds
+    would burn per-goal timeouts on every intermediate."""
+    emb = HumanoidEmbodiment()
+    goal = humanoid_state([0.5, 0, 0], [0.5, 0.2, 0])
+    # 3 cm off position, sloppy rotation: fails the strict check...
+    near = humanoid_state([0.47, 0, 0], [0.47, 0.2, 0])
+    near[3:7] = [0.98, 0.0, 0.0, 0.199]  # ~23 deg off
+    near[3:7] /= np.linalg.norm(near[3:7])
+    assert not is_goal_reached(emb, near, goal)
+    # ...but passes the relaxed intermediate check (0.1/2 = 5 cm).
+    assert is_goal_reached(
+        emb, near, goal, is_intermediate_goal=True,
+        max_intermediate_distance_m=0.1,
+    )
+    # Still fails when genuinely far.
+    far = humanoid_state([0.4, 0, 0], [0.4, 0.2, 0])
+    assert not is_goal_reached(
+        emb, far, goal, is_intermediate_goal=True,
+        max_intermediate_distance_m=0.1,
+    )

@@ -64,3 +64,19 @@ def test_mha_flash_impl_matches_xla():
     flash_out = flash_out.transpose(0, 2, 1, 3).reshape(B, L, E)
     np.testing.assert_allclose(np.asarray(flash_out), np.asarray(xla_out),
                                atol=2e-5)
+
+
+def test_fully_masked_rows_are_zero():
+    """A batch element with NO valid keys outputs exact zeros - independent
+    of block/padding sizes (the p*mask form keeps the denominator at 0)."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 2, 4, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 6, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 2, 6, 8)), jnp.float32)
+    mask = np.ones((2, 6), bool)
+    mask[0] = False
+    out = flash_attention(
+        q, k, v, key_padding_mask=jnp.asarray(mask), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    assert np.abs(np.asarray(out[1])).max() > 0

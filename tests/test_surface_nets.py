@@ -163,3 +163,36 @@ def test_device_surface_nets_budget_overflow_detected():
     assert int(n_vertices) > 8  # overflow reported
     assert int(np.asarray(vertex_valid).sum()) == 8
     assert int(np.asarray(tri_valid).sum()) <= 8
+
+
+def test_triangle_winding_consistent_across_axes():
+    """Face normals point consistently toward the negative-TSDF side for
+    axis-aligned planes along ALL three axes (the y-axis quads' (o1, o2)
+    frame is left-handed and needs inverted winding)."""
+    from nvblox_mindmap_tpu.mapping.surface_nets import surface_nets
+
+    n = 12
+    weight = np.ones((n, n, n), np.float32)
+    for axis in range(3):
+        coord = np.arange(n, dtype=np.float32)
+        shape = [1, 1, 1]
+        shape[axis] = n
+        tsdf = np.broadcast_to(
+            (coord - 5.6).reshape(shape) * 0.01, (n, n, n)
+        ).copy()
+        vertices, triangles, _ = surface_nets(
+            tsdf, weight, 0.01, np.zeros(3), truncation=0.04
+        )
+        assert len(triangles) > 0, f"axis {axis}: no faces"
+        a = vertices[triangles[:, 0]]
+        b = vertices[triangles[:, 1]]
+        c = vertices[triangles[:, 2]]
+        normals = np.cross(b - a, c - a)
+        comp = normals[:, axis]
+        nonzero = np.abs(comp) > 1e-12
+        assert nonzero.any()
+        # tsdf increases along +axis => inside (negative) is -axis side;
+        # outward normals all point along -axis, consistently.
+        same_sign = (comp[nonzero] < 0).all() or (comp[nonzero] > 0).all()
+        assert same_sign, f"axis {axis}: mixed winding"
+        assert (comp[nonzero] < 0).all(), f"axis {axis}: normals point inward"
