@@ -12,12 +12,14 @@ just producing the inference-time settings:
 - ``convert_diffusion_scheduler``: returns sampling kwargs for DDIM with a
   reduced step count (e.g. 10 steps instead of 100).
 
-When to use flash: LONG contexts and head dims near a multiple of 128. At
-the flagship configuration (2048 tokens, embed 120 -> head dim 15, padded to
-128 inside the kernel) the XLA default is ~6x FASTER on the chip (22.5 vs
-133 ms pipelined, measured) - so unlike the reference (where flash-attn
-always beat their eager torch attention), keep the default here unless the
-context grows well past ~10k tokens or the head dim is >= 64.
+When to use flash: since the kernel streams the key axis through the grid
+(one VMEM-resident K/V tile at a time), per-op cost is at parity with XLA's
+fused attention even at the flagship shapes (0.018 vs 0.017 ms measured at
+2048 tokens / head dim 15), and it scales to contexts XLA would spill on
+(16k tokens x head dim 128: 74 ms, 7.4 TFLOP/s measured). The default stays
+XLA because it materializes attention weights for visualization; flash is
+the serving-mode swap (weights dropped) - mirroring the reference's
+custom->flash module surgery.
 """
 from __future__ import annotations
 
