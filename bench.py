@@ -126,14 +126,15 @@ def main():
             best = min(best, float(np.percentile(times, 50) * 1000))
         return best
 
-    def measure_throughput(fn, n=20, reps=3):
+    def measure_throughput(fn, b=None, n=20, reps=3):
         # Pipelined (async-dispatch) per-call time: the pure device cost,
         # without the per-call host sync round trip.
-        jax.block_until_ready(fn(params, batch, jax.random.PRNGKey(0)))
+        b = batch if b is None else b
+        jax.block_until_ready(fn(params, b, jax.random.PRNGKey(0)))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            outs = [fn(params, batch, jax.random.PRNGKey(i)) for i in range(n)]
+            outs = [fn(params, b, jax.random.PRNGKey(i)) for i in range(n)]
             jax.block_until_ready(outs)
             best = min(best, (time.perf_counter() - t0) / n * 1000)
         return best
@@ -158,27 +159,12 @@ def main():
         )
         return traj
 
-    def measure_b8(n=20, reps=3):
-        jax.block_until_ready(
-            predict_ddim_b8(params, batch8, jax.random.PRNGKey(0))
-        )
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            outs = [
-                predict_ddim_b8(params, batch8, jax.random.PRNGKey(i))
-                for i in range(n)
-            ]
-            jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / n * 1000)
-        return best
-
     return (
         measure(predict),
         measure(predict_ddim),
         measure_throughput(predict),
         measure_throughput(predict_ddim),
-        measure_b8(),
+        measure_throughput(predict_ddim_b8, b=batch8),
     )
 
 

@@ -135,12 +135,18 @@ def main(argv=None):
             metric_sums[k] = metric_sums.get(k, 0.0) + v
         count += 1
     means = {k: (v / count).tolist() for k, v in metric_sums.items()}
+
     # Strict JSON: NaN tokens (e.g. from degenerate metrics) are not valid
-    # JSON - downstream parsers choke on them.
-    means = {
-        k: (None if isinstance(v, float) and v != v else v)
-        for k, v in means.items()
-    }
+    # JSON - downstream parsers choke on them. Vector metrics (.tolist()
+    # lists) sanitize recursively.
+    def _no_nan(v):
+        if isinstance(v, float) and v != v:
+            return None
+        if isinstance(v, list):
+            return [_no_nan(x) for x in v]
+        return v
+
+    means = {k: _no_nan(v) for k, v in means.items()}
     logger.info("Open-loop metrics over %d samples:\n%s", count,
                 json.dumps(means, indent=2, default=str))
     return means

@@ -111,18 +111,7 @@ def main(argv=None):
     checkpoint_dir = os.path.join(
         args.base_log_dir, "checkpoints", datetime.today().strftime("%Y.%m.%d-%H.%M.%S")
     )
-    # Stable handle for chained workflows (train -> eval handoff): the
-    # timestamped dir is unpredictable at spec-generation time, so refresh a
-    # 'latest' symlink next to it (workflows/submit.py points at
-    # checkpoints/latest/best.ckpt).
     os.makedirs(checkpoint_dir, exist_ok=True)
-    latest = os.path.join(args.base_log_dir, "checkpoints", "latest")
-    try:
-        if os.path.islink(latest) or os.path.exists(latest):
-            os.unlink(latest)
-        os.symlink(os.path.basename(checkpoint_dir), latest)
-    except OSError:
-        pass  # filesystems without symlinks: workflows must pass explicit paths
     trainer_config = TrainerConfig(
         train_iters=args.train_iters,
         batch_size=args.batch_size,
@@ -198,6 +187,22 @@ def main(argv=None):
         best_loss=best_loss,
         args_dict=args_to_dict(args),
     )
+
+    # Stable handle for chained workflows (train -> eval handoff): repoint
+    # checkpoints/latest AFTER a successful run so a crashed/mid-flight run
+    # never leaves the symlink dangling while an older best.ckpt exists
+    # (workflows/submit.py points at checkpoints/latest/best.ckpt).
+    if args.save_checkpoint and (
+        os.path.exists(os.path.join(checkpoint_dir, "last.ckpt"))
+        or os.path.isdir(os.path.join(checkpoint_dir, "last"))
+    ):
+        latest = os.path.join(args.base_log_dir, "checkpoints", "latest")
+        try:
+            if os.path.islink(latest) or os.path.exists(latest):
+                os.unlink(latest)
+            os.symlink(os.path.basename(checkpoint_dir), latest)
+        except OSError:
+            pass  # no symlinks on this FS: pass explicit checkpoint paths
 
 
 if __name__ == "__main__":

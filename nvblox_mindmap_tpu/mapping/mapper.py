@@ -45,11 +45,12 @@ class Mapper:
     @classmethod
     def from_file(cls, path: str, mapper_id: int = MapperId.STATIC) -> "Mapper":
         """Construct a single-mapper instance from a save_map file
-        (reference: nvblox Mapper(...).load_from_file, convert_maps_usd.py)."""
+        (reference: nvblox Mapper(...).load_from_file, convert_maps_usd.py).
+        Reads/unpickles the (potentially hundreds of MB) payload once."""
         with open(path, "rb") as f:
-            config = pickle.load(f)["config"]
-        mapper = cls({mapper_id: config})
-        mapper.load_from_file(path, mapper_id)
+            payload = pickle.load(f)
+        mapper = cls({mapper_id: payload["config"]})
+        mapper._apply_payload(payload, mapper_id)
         return mapper
 
     # --- nvblox_torch method surface -----------------------------------------
@@ -238,6 +239,9 @@ class Mapper:
     def load_from_file(self, path: str, mapper_id: int = MapperId.STATIC):
         with open(path, "rb") as f:
             payload = pickle.load(f)
+        self._apply_payload(payload, mapper_id)
+
+    def _apply_payload(self, payload, mapper_id: int):
         self.configs[mapper_id] = payload["config"]
         self.states[mapper_id] = vg.VoxelGridState(
             **{k: jnp.asarray(v) for k, v in payload["state"].items()}

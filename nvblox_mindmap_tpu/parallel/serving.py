@@ -66,9 +66,9 @@ def make_sharded_infer_fn(
 
     # Replicate the params ONCE per distinct tree: re-replicating on every
     # request would broadcast the whole parameter tree per call, dwarfing a
-    # DDIM-10 sampling step. Keyed by object identity (params rarely change
-    # between requests; a swap re-replicates).
-    cache = {"id": None, "replicated": None}
+    # DDIM-10 sampling step. Keyed by the tree OBJECT (held strongly, so its
+    # id cannot be recycled; `is` on id() ints would never match).
+    cache = {"params": None, "replicated": None}
 
     def infer(params, batch, key):
         n = mesh.devices.size
@@ -80,9 +80,9 @@ def make_sharded_infer_fn(
             raise ValueError(
                 f"serving batch size {lead} not divisible by mesh size {n}"
             )
-        if cache["id"] is not id(params):
+        if cache["params"] is not params:
             cache["replicated"] = replicate(params, mesh)
-            cache["id"] = id(params)
+            cache["params"] = params
         return _infer(cache["replicated"], shard_batch(batch, mesh), key)
 
     return infer

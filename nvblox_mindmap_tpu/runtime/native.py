@@ -180,21 +180,18 @@ def decode_png_batch(paths: Sequence[str], n_threads: int = 4
     failures = lib.mm_png_decode_batch(c_paths, c_outs, c_caps, len(valid),
                                        n_threads)
     if failures != 0:
-        # The batch call only reports a count; re-decode entries until all
-        # failures are pinpointed (early exit - a single bad file re-decodes
-        # only a prefix of the batch, not all of it), and salvage bad entries
-        # through the imageio fallback like decode_png does.
-        remaining = int(failures)
+        # The batch call only reports a count, not WHICH entries failed, so
+        # every entry must be re-verified (an early exit keyed on the count
+        # could break before reaching the actually-corrupt entry and return
+        # its partially-written buffer as valid data). Bad entries are
+        # salvaged through the imageio fallback like decode_png.
         for i in valid:
-            if remaining == 0:
-                break
             arr = outs[i]
             rc = lib.mm_png_decode(
                 paths[i].encode(), arr.ctypes.data_as(ctypes.c_void_p),
                 arr.nbytes,
             )
             if rc != 0:
-                remaining -= 1
                 try:
                     import imageio.v2 as imageio
 

@@ -353,10 +353,16 @@ class Trainer:
             with Timer("step/eval/inference"):
                 losses, metrics = self._eval_step(params, device_batch, rng)
                 losses, metrics = jax.device_get((losses, metrics))
-            loss_sum += float(losses["total"])
+            # Weight per-batch means by batch size: drop_last=False tail
+            # batches would otherwise give their few samples a full batch's
+            # weight in the val loss that drives best-checkpoint selection.
+            bsz_eff = batch["gripper_history"].shape[0]
+            loss_sum += float(losses["total"]) * bsz_eff
             for k, v in metrics.items():
-                metric_sums[k] = metric_sums.get(k, 0.0) + np.asarray(v)
-            count += 1
+                metric_sums[k] = (
+                    metric_sums.get(k, 0.0) + np.asarray(v) * bsz_eff
+                )
+            count += bsz_eff
         if count == 0:
             return float("inf"), {}
         mean_metrics = {k: v / count for k, v in metric_sums.items()}
