@@ -12,15 +12,15 @@ just producing the inference-time settings:
 - ``convert_diffusion_scheduler``: returns sampling kwargs for DDIM with a
   reduced step count (e.g. 10 steps instead of 100).
 
-When to use flash: since the kernel streams the key axis through the grid
-(one VMEM-resident K/V tile at a time), per-op cost is at parity with XLA's
-fused attention even at the flagship shapes (0.018 vs 0.017 ms measured at
-2048 tokens / head dim 15), and it scales to contexts XLA would spill on
-(16k tokens x head dim 128: ~44 ms, 12.6 TFLOP/s measured at the default
-512x512 blocks). The default stays
-XLA because it materializes attention weights for visualization; flash is
-the serving-mode swap (weights dropped) - mirroring the reference's
-custom->flash module surgery.
+When to use flash: the kernel streams the key axis through the grid (one
+VMEM-resident K/V tile at a time), so it scales to contexts far beyond this
+model's (~44 ms / 12.6 TFLOP/s f32 at 16k tokens x head dim 128 with the
+default 512x512 blocks, forced-sync measured). At the flagship shapes
+(2048 tokens, head dim 15 padded to 128) XLA's fused attention remains
+FASTER - the tiny head dim wastes most of each MXU tile - so keep the XLA
+default (which also materializes attention weights for visualization) and
+treat flash as the long-context / large-head-dim serving swap, mirroring
+the reference's custom->flash module surgery.
 """
 from __future__ import annotations
 
