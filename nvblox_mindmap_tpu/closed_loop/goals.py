@@ -42,17 +42,21 @@ def is_goal_reached(
 ) -> bool:
     if is_intermediate_goal and max_intermediate_distance_m is not None:
         # Intermediate goals only avoid big set-point jumps - the reference
-        # relaxes the check to half the max intermediate distance on
-        # position alone (humanoid/embodiment.py:330-341); holding them to
-        # the tight final thresholds would burn per-goal timeouts on
-        # transient set points.
+        # relaxes pose/gripper checks to half the max intermediate distance
+        # on position (humanoid/embodiment.py:337-341) but still ANDs the
+        # head-yaw check onto BOTH branches when the embodiment predicts
+        # head yaw (humanoid/embodiment.py:386-391).
         threshold = max_intermediate_distance_m * 0.5
         if embodiment.embodiment_type == EmbodimentType.ARM:
             return float(np.linalg.norm(current[:3] - goal[:3])) < threshold
-        return (
+        position_ok = (
             float(np.linalg.norm(current[0:3] - goal[0:3])) < threshold
             and float(np.linalg.norm(current[8:11] - goal[8:11])) < threshold
         )
+        if not embodiment.predict_head_yaw:
+            return position_ok
+        head_err_deg = abs(float(current[16]) - float(goal[16])) * 180.0 / np.pi
+        return position_ok and head_err_deg < HUMANOID_GO_TO_NEXT_GOAL_THRESHOLD_HEAD_YAW_DEG
     if embodiment.embodiment_type == EmbodimentType.ARM:
         error_m, error_deg = pose_errors(current[:7], goal[:7])
         gripper_diff = abs(float(goal[7]) - float(current[7]))
@@ -71,6 +75,8 @@ def is_goal_reached(
             and gripper_diff < HUMANOID_GO_TO_NEXT_GOAL_THRESHOLD_GRIPPER_DIFF
         ):
             return False
+    if not embodiment.predict_head_yaw:
+        return True
     head_err_deg = abs(float(current[16]) - float(goal[16])) * 180.0 / np.pi
     return head_err_deg < HUMANOID_GO_TO_NEXT_GOAL_THRESHOLD_HEAD_YAW_DEG
 

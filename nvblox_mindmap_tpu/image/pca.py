@@ -39,12 +39,18 @@ def fit_pca(features: np.ndarray, num_components: int = 3) -> PcaProjection:
     eigvals, eigvecs = np.linalg.eigh(cov)
     components = eigvecs[:, ::-1][:, :num_components]  # descending variance
     if components.shape[1] < num_components:
-        # Degenerate inputs (fewer samples than components): zero-pad so
-        # apply_pca's (..., 3) reshape stays valid.
+        # eigh of the CxC covariance always yields C eigenvectors, so this
+        # branch fires only when the feature dim C < num_components (not on
+        # few samples): zero-pad so apply_pca's (..., 3) reshape stays valid.
         pad = num_components - components.shape[1]
         components = np.concatenate(
             [components, np.zeros((components.shape[0], pad))], axis=1
         )
+    # Rank-deficient fits (fewer valid samples than C) produce ~0-eigenvalue
+    # noise directions; zero them so they don't inject noise into the RGB.
+    eigvals_desc = eigvals[::-1][: components.shape[1]]
+    tol = max(eigvals_desc[0], 0.0) * 1e-10 + 1e-30
+    components = components * (eigvals_desc > tol)[None, :]
     projected = features @ components  # uncentered, like the reference
     lo = np.quantile(projected, 0.01, axis=0)
     hi = np.quantile(projected, 0.99, axis=0)

@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstring>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <string>
@@ -127,14 +128,14 @@ long long mm_zstd_decompress_file(const char* path, uint8_t* out,
 // Single-pass decompression: allocates an internal buffer and returns it via
 // out_ptr. Caller must release with mm_buffer_free. Returns size or -1.
 long long mm_zstd_decompress_file_alloc(const char* path, uint8_t** out_ptr) try {
-  auto result = new std::vector<uint8_t>();
+  // unique_ptr so an exception mid-decompress (e.g. bad_alloc on a corrupt
+  // header) frees the vector; released only once register_buffer owns it.
+  auto result = std::make_unique<std::vector<uint8_t>>();
   long long size = decompress_zstd_to_vector(path, *result);
-  if (size < 0) {
-    delete result;
-    return -1;
-  }
+  if (size < 0) return -1;
   *out_ptr = result->data();
-  register_buffer(result->data(), result);
+  register_buffer(result->data(), result.get());
+  result.release();
   return size;
 } catch (...) {
   return -1;

@@ -343,6 +343,11 @@ class Trainer:
                         bsz, n_devices,
                     )
                     continue
+                logger.warning(
+                    "eval batch of %d samples trimmed to %d (mesh size %d): "
+                    "%d tail samples dropped from the weighted val loss",
+                    bsz, keep, n_devices, bsz - keep,
+                )
                 batch = jax.tree_util.tree_map(
                     lambda x: x[:keep] if hasattr(x, "shape")
                     and getattr(x, "ndim", 0) > 0 and x.shape[0] == bsz else x,

@@ -464,10 +464,11 @@ def test_live_policy_include_dynamic_feeds_combined_mesh(tmp_path):
 
 
 def test_intermediate_goals_use_relaxed_threshold():
-    """Intermediate SLERP goals are transient set points: the reference only
-    requires position error < max_intermediate_distance_m/2 for them
-    (humanoid/embodiment.py:330-341) - the tight final-goal thresholds
-    would burn per-goal timeouts on every intermediate."""
+    """Intermediate SLERP goals are transient set points: the reference
+    relaxes pose/gripper checks to position error < max_intermediate_distance
+    /2 for them (humanoid/embodiment.py:337-341; head yaw is still ANDed on,
+    see test below) - the tight final-goal thresholds would burn per-goal
+    timeouts on every intermediate."""
     emb = HumanoidEmbodiment()
     goal = humanoid_state([0.5, 0, 0], [0.5, 0.2, 0])
     # 3 cm off position, sloppy rotation: fails the strict check...
@@ -484,5 +485,25 @@ def test_intermediate_goals_use_relaxed_threshold():
     far = humanoid_state([0.4, 0, 0], [0.4, 0.2, 0])
     assert not is_goal_reached(
         emb, far, goal, is_intermediate_goal=True,
+        max_intermediate_distance_m=0.1,
+    )
+
+
+def test_intermediate_goals_still_require_head_yaw():
+    """The reference ANDs is_head_yaw_goal_reached onto BOTH the intermediate
+    and final branches when the embodiment predicts head yaw
+    (humanoid/embodiment.py:386-391): a position-reached intermediate goal
+    with a wrong head yaw is NOT reached."""
+    emb = HumanoidEmbodiment()
+    assert emb.predict_head_yaw
+    goal = humanoid_state([0.5, 0, 0], [0.5, 0.2, 0], head=0.5)
+    near = humanoid_state([0.47, 0, 0], [0.47, 0.2, 0], head=0.0)  # ~29 deg off
+    assert not is_goal_reached(
+        emb, near, goal, is_intermediate_goal=True,
+        max_intermediate_distance_m=0.1,
+    )
+    near_yaw_ok = humanoid_state([0.47, 0, 0], [0.47, 0.2, 0], head=0.5)
+    assert is_goal_reached(
+        emb, near_yaw_ok, goal, is_intermediate_goal=True,
         max_intermediate_distance_m=0.1,
     )
