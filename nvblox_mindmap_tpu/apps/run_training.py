@@ -146,6 +146,7 @@ def main(argv=None):
         wandb_entity=args.wandb_entity,
         wandb_mode=args.wandb_mode,
         config=_to_dict(args),
+        artifact_dir=checkpoint_dir,
     )
     # A non-RGB extractor inside the model (rgbd data types) must start from
     # pretrained weights unless resuming a (self-contained) checkpoint.

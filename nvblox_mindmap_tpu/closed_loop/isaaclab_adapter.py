@@ -30,6 +30,31 @@ The adapter mirrors the reference's episode/step semantics
 The class is dependency-injected (gym env + camera handlers passed in), so
 its protocol is testable with mocks anywhere; only the
 ``make_isaaclab_environment`` factory needs Isaac Lab.
+
+Sim-host contract (what must be installed for the factory to work):
+
+1. **Task env registrations.** ``gym.make(TASK_TO_GYM_ID[task])`` resolves
+   only if the gym ids (``Isaac-Stack-Cube-Franka-With-Cams-IK-Rel-v0`` etc.)
+   are registered - i.e. the reference's task package
+   (``mindmap/tasks``, ~4k LoC of Isaac Lab manager-based env configs and
+   mimic envs) or an equivalent registration module is importable on the sim
+   host. This framework deliberately does not vendor those configs: they are
+   Isaac-Lab-API-bound scene/observation/termination definitions with no
+   TPU-side behavior (SURVEY.md section 2.2 boundary). Install the reference
+   ``mindmap`` package (or your own env registrations with matching ids,
+   cameras, and a 'success' termination term) alongside Isaac Lab.
+2. **Policy cameras come from the task env configs**, not from this adapter:
+   the reference's env cfgs define the wrist/table (arm) and pov/external
+   (humanoid) cameras in their scene configs; the only camera the reference
+   *injects* at env-creation time is the optional recording camera
+   (reference isaaclab_utils/environments.py:84-106). The same split holds
+   here: ``update_env_cfg_for_perceptive_il`` below can inject a record_cam
+   but expects policy cameras to exist as ``<name>_cam`` scene entries.
+3. **Perceptive-IL config surgery.** The reference mutates the MimicGen env
+   config before gym.make (environments.py:109-195): recorders/terminations
+   cleared, absolute-mode arm controller corrections, stiffness/damping,
+   render settings. ``update_env_cfg_for_perceptive_il`` reproduces this
+   duck-typed (testable with mock cfgs off the sim host).
 """
 from __future__ import annotations
 
@@ -271,19 +296,106 @@ class IsaacLabEnvironment(EnvironmentBase):
             return False
 
 
+def update_env_cfg_for_perceptive_il(
+    env_cfg,
+    embodiment_type: EmbodimentType,
+    absolute_mode: bool = True,
+    render_settings: str = "default",
+    record_camera_params: Optional[Dict] = None,
+):
+    """MimicGen env cfg -> Perceptive-IL env cfg, duck-typed.
+
+    Reproduces the reference's pre-gym.make config surgery
+    (isaaclab_utils/environments.py:84-195) on any attribute-compatible cfg
+    object, so the transformation is unit-testable off the sim host:
+
+    - recorders/terminations cleared (:109-110),
+    - arm absolute mode: non-relative IK, scale 1.0, the 0.1034 m
+      control-frame z-offset correction (asserted equal to the measured
+      ee_frame offset), shoulder/forearm stiffness 400->2000 and damping
+      80->240 (:153-174),
+    - viewer eye moved to (1.5, 1.5, 1.5) (:181),
+    - render settings: 'deterministic' disables antialiasing, 'high_quality'
+      switches to PathTracing (:184-192),
+    - optional 1200x1200 recording camera injected as scene.record_cam
+      (:84-102); policy cameras are NOT injected - they come from the task
+      package's env configs.
+    """
+    env_cfg.recorders = {}
+    env_cfg.terminations = {}
+    if embodiment_type == EmbodimentType.ARM:
+        if absolute_mode:
+            arm_action = env_cfg.actions.arm_action
+            arm_action.controller.use_relative_mode = False
+            arm_action.scale = 1.0
+            # Control-frame offset correction; the reference keeps the bug in
+            # relative mode because MimicGen data was recorded with it.
+            arm_action.body_offset.pos = [0.0, 0.0, 0.1034]
+            eef_frame = env_cfg.scene.ee_frame.target_frames[0]
+            assert list(eef_frame.offset.pos) == list(arm_action.body_offset.pos), (
+                "eef control and measurement frame should have the same offset."
+            )
+            for group in ("panda_shoulder", "panda_forearm"):
+                env_cfg.scene.robot.actuators[group].stiffness = 2000.0
+                env_cfg.scene.robot.actuators[group].damping = 240.0
+    elif embodiment_type == EmbodimentType.HUMANOID:
+        pass
+    else:
+        raise ValueError(f"Invalid embodiment type: {embodiment_type}")
+    env_cfg.viewer.eye = (1.5, 1.5, 1.5)
+    if render_settings == "deterministic":
+        env_cfg.sim.render.antialiasing_mode = "Off"
+    elif render_settings == "high_quality":
+        env_cfg.sim.render.carb_settings = {"rtx.rendermode": "PathTracing"}
+    elif render_settings != "default":
+        raise ValueError(f"Invalid render settings: {render_settings}")
+    if record_camera_params is not None:
+        # Deferred import: CameraCfg exists only on the sim host.
+        import isaaclab.sim as sim_utils
+        from isaaclab.sensors import CameraCfg
+
+        env_cfg.scene.record_cam = CameraCfg(
+            prim_path="{ENV_REGEX_NS}/record_cam",
+            update_period=0.0333,
+            height=1200,
+            width=1200,
+            data_types=["rgb", "distance_to_image_plane"],
+            spawn=sim_utils.PinholeCameraCfg(
+                focal_length=record_camera_params["focal_length"],
+                focus_distance=400.0,
+                horizontal_aperture=20.955,
+                clipping_range=(0.1, 1.0e5),
+            ),
+            offset=CameraCfg.OffsetCfg(
+                pos=record_camera_params["position"],
+                rot=record_camera_params["rotation"],
+                convention="opengl",
+            ),
+        )
+    return env_cfg
+
+
 def make_isaaclab_environment(
     task,
     hdf5_file: str,
     demo_name: str,
     headless: bool = True,
     add_external_cam: bool = False,
+    absolute_mode: bool = True,
+    render_settings: str = "default",
 ):
     """Build the full sim-host environment (requires Isaac Lab).
 
     Mirrors the reference app startup (run_closed_loop_policy.py:53-114):
-    SimulationAppContext -> gym env with injected camera configs -> camera
-    handlers -> HDF5 initial state. Import-guarded: raises a clear error off
-    the sim host.
+    SimulationAppContext -> env cfg parse + perceptive-IL surgery -> gym env
+    -> camera handlers -> HDF5 initial state. Import-guarded: raises a clear
+    error off the sim host.
+
+    PREREQUISITE: the gym ids in TASK_TO_GYM_ID must already be registered
+    (install the reference's ``mindmap`` task package, or equivalent env
+    registrations, on the sim host - see the module docstring's sim-host
+    contract). A missing registration raises with that instruction rather
+    than gymnasium's bare NameNotFound.
     """
     try:
         from isaaclab.app import AppLauncher  # noqa: F401
@@ -306,8 +418,28 @@ def make_isaaclab_environment(
     )
 
     task = Tasks(task)
-    env = gym.make(TASK_TO_GYM_ID[task])
     embodiment = make_embodiment_for_task(task)
+    gym_id = TASK_TO_GYM_ID[task]
+    if gym_id not in gym.registry:
+        raise RuntimeError(
+            f"gym id {gym_id!r} is not registered: the task env configs are "
+            "sim-host-side and not vendored by this framework. Install the "
+            "reference 'mindmap' package (its tasks/ module registers the "
+            "four benchmark envs) or equivalent registrations with matching "
+            "ids, <name>_cam scene cameras, and a 'success' termination term."
+        )
+    try:
+        from isaaclab_tasks.utils.parse_cfg import parse_env_cfg
+
+        env_cfg = parse_env_cfg(gym_id, num_envs=1)
+        env_cfg = update_env_cfg_for_perceptive_il(
+            env_cfg, embodiment.embodiment_type,
+            absolute_mode=absolute_mode, render_settings=render_settings,
+        )
+        env = gym.make(gym_id, cfg=env_cfg)
+    except ImportError:
+        # Older Isaac Lab layouts: fall back to the registered default cfg.
+        env = gym.make(gym_id)
 
     # Camera handlers, reference-style (isaaclab_camera_handler.py).
     camera_names = (

@@ -17,6 +17,7 @@ would run without a checkpoint.
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -29,6 +30,8 @@ from nvblox_mindmap_tpu.models.weight_conversion import (
     graft_subtree,
     load_variables_npz,
 )
+
+logger = logging.getLogger(__name__)
 
 
 def require_backbone_weights(
@@ -99,6 +102,21 @@ def build_backbone(
         if "fpn" not in params:
             import jax
 
+            # For a *mapping/datagen* export a random neck means the 120-d
+            # features written to disk are a random projection of trunk
+            # activations - valid for training (the policy's own FPN trains
+            # against them in the reference) but surprising for map exports,
+            # so say it loudly.
+            logger.warning(
+                "CLIP checkpoint %r has no 'fpn' subtree: the FPN neck is "
+                "freshly initialized, so extracted 120-d features are a "
+                "random projection of the frozen trunk. This matches the "
+                "reference's training semantics (feature_extraction.py:"
+                "434-442, FPN trains when no fpn_path) but for mapping/"
+                "datagen exports you likely want a converted FPN: re-run the "
+                "converter with an fpn checkpoint to embed one.",
+                backbone_weights,
+            )
             H = feature_image_size[0] * 16
             fresh = module.init(
                 jax.random.PRNGKey(0), np.zeros((1, H, H, 3), np.float32)

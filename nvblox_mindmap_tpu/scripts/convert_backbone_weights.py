@@ -69,7 +69,14 @@ def convert(feature_type: FeatureExtractorType, target_grid: int = 32):
 
 def write_golden(feature_type: FeatureExtractorType, torch_model, path: str,
                  image_hw: int = 256):
-    """Store (input, torch activations) so the flax forward can be pinned."""
+    """Store (input, torch activations) so the flax forward can be pinned.
+
+    ViT types pin the full spatial-feature output under ``expected``. CLIP
+    pins the FROZEN trunk's 5 intermediate feature maps under
+    ``expected_trunk_0..4`` (the FPN neck is trainable and has no reference
+    weights to pin, reference feature_extraction.py:434-442); the golden
+    harness applies ModifiedResNetFeatures alone for those fixtures.
+    """
     import torch
 
     rng = np.random.default_rng(0)
@@ -79,18 +86,36 @@ def write_golden(feature_type: FeatureExtractorType, torch_model, path: str,
         if feature_type == FeatureExtractorType.RADIO_V25_B:
             _, feats = torch_model(bchw)  # (1, N, C)
             g = int(round(np.sqrt(feats.shape[1])))
-            expected = feats.reshape(1, g, g, -1).numpy()
+            np.savez(path, rgb=rgb,
+                     expected=feats.reshape(1, g, g, -1).numpy())
         elif feature_type == FeatureExtractorType.DINO_V2_VITS14:
             feats = torch_model.forward_features(bchw)["x_norm_patchtokens"]
             g = int(round(np.sqrt(feats.shape[1])))
-            expected = feats.reshape(1, g, g, -1).numpy()
+            np.savez(path, rgb=rgb,
+                     expected=feats.reshape(1, g, g, -1).numpy())
+        elif feature_type == FeatureExtractorType.CLIP_RESNET50_FPN:
+            # CLIP preprocessing (mean/std as in ClipResNet50Fpn), then the
+            # trunk taps the reference FPN consumes (feature_extraction.py
+            # :402-422 surgery): stem relu3 output + layer1..4 outputs.
+            mean = torch.tensor([0.48145466, 0.4578275, 0.40821073])
+            std = torch.tensor([0.26862954, 0.26130258, 0.27577711])
+            x = (bchw - mean.view(1, 3, 1, 1)) / std.view(1, 3, 1, 1)
+            v = torch_model  # clip .visual (ModifiedResNet)
+            x = torch.relu(v.bn1(v.conv1(x)))
+            x = torch.relu(v.bn2(v.conv2(x)))
+            x0 = torch.relu(v.bn3(v.conv3(x)))
+            x = v.avgpool(x0)
+            feats = [x0]
+            for layer in (v.layer1, v.layer2, v.layer3, v.layer4):
+                x = layer(x)
+                feats.append(x)
+            arrays = {
+                f"expected_trunk_{i}": f.permute(0, 2, 3, 1).numpy()
+                for i, f in enumerate(feats)
+            }
+            np.savez(path, rgb=rgb, **arrays)
         else:
-            raise ValueError(
-                f"golden fixture unsupported for {feature_type} (the CLIP FPN "
-                "neck is trainable; pin the frozen trunk via "
-                "tests/test_weight_conversion.py instead)"
-            )
-    np.savez(path, rgb=rgb, expected=expected)
+            raise ValueError(f"golden fixture unsupported for {feature_type}")
 
 
 def main(argv=None):

@@ -293,7 +293,10 @@ class Trainer:
                 predict_head_yaw=cfg.predict_head_yaw,
                 rotation_form="quaternion",
             )
-            return losses, metrics
+            # Positions (B, L, G, 3) ride along for the per-eval trajectory
+            # figure (reference run_training.py:370-372); they stay on device
+            # unless the caller fetches them (first batch only).
+            return losses, metrics, pred_unnorm[..., :3], gt[..., :3]
 
         return eval_step
 
@@ -356,8 +359,24 @@ class Trainer:
                 )
             device_batch = shard_batch(batch, self.mesh)
             with Timer("step/eval/inference"):
-                losses, metrics = self._eval_step(params, device_batch, rng)
+                losses, metrics, pred_pos, gt_pos = self._eval_step(
+                    params, device_batch, rng
+                )
                 losses, metrics = jax.device_get((losses, metrics))
+            if (
+                i == 0
+                and self.metric_logger is not None
+                and jax.process_index() == 0
+            ):
+                # GT-vs-pred scatter on the 1st eval batch (reference
+                # run_training.py:370-372).
+                try:
+                    self.metric_logger.log_trajectory_figure(
+                        jax.device_get(pred_pos), jax.device_get(gt_pos),
+                        step, split=split,
+                    )
+                except Exception as e:  # viz must never kill training
+                    logger.warning("trajectory figure failed: %s", e)
             # Weight per-batch means by batch size: drop_last=False tail
             # batches would otherwise give their few samples a full batch's
             # weight in the val loss that drives best-checkpoint selection.

@@ -258,16 +258,23 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "test_data", "backbones")
 def test_golden_activation_fixture(feature_type):
     """Pin the flax forward against activations of the REAL hub checkpoint.
 
-    Produce fixtures offline (a machine with torch-hub access):
-        python -m nvblox_mindmap_tpu.scripts.convert_backbone_weights \\
-            --feature_type radio_v25_b --output <dir> --write_golden
-    then copy <type>_golden.npz + <type>.npz into tests/test_data/backbones/.
+    Produce ALL fixtures with one command on a machine with torch-hub access:
+        python -m nvblox_mindmap_tpu.scripts.make_backbone_golden
+    (writes <type>.npz + <type>_golden.npz straight into this directory).
+    ViT fixtures pin the full spatial-feature output; the CLIP fixture pins
+    the frozen trunk's 5 feature maps (the FPN neck is trainable, reference
+    feature_extraction.py:434-442, so it has no reference weights to pin).
     """
     golden = os.path.join(GOLDEN_DIR, f"{feature_type.value}_golden.npz")
     weights = os.path.join(GOLDEN_DIR, f"{feature_type.value}.npz")
     if not (os.path.exists(golden) and os.path.exists(weights)):
         pytest.skip(f"no golden fixture for {feature_type.value} "
-                    f"(expected {golden})")
+                    f"(expected {golden}; produce with "
+                    "scripts/make_backbone_golden.py on an egress host)")
+    _verify_golden_fixture(feature_type, golden, weights)
+
+
+def _verify_golden_fixture(feature_type, golden, weights, **module_kwargs):
     data = np.load(golden)
     from nvblox_mindmap_tpu.models.pretrained import (
         _mean_std_from,
@@ -281,9 +288,33 @@ def test_golden_activation_fixture(feature_type):
         interpolate_pos_embed,
     )
 
-    grid = tuple(int(s) for s in data["expected"].shape[1:3])
     loaded = load_backbone_npz(weights)
     params = loaded["params"]
+
+    if feature_type == FeatureExtractorType.CLIP_RESNET50_FPN:
+        from nvblox_mindmap_tpu.models.clip_resnet_fpn import (
+            ModifiedResNetFeatures,
+        )
+
+        # Same normalization constants as ClipResNet50Fpn; no resize (the
+        # golden generator fed the trunk at the fixture's native size).
+        mean = np.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = np.asarray([0.26862954, 0.26130258, 0.27577711])
+        x = (np.asarray(data["rgb"]) - mean) / std
+        trunk = params["backbone"]
+        if "params" in trunk:
+            trunk = trunk["params"]
+        feats = ModifiedResNetFeatures(**module_kwargs).apply(
+            {"params": trunk}, jnp.asarray(x, jnp.float32)
+        )
+        for i, ours in enumerate(feats):
+            ref = np.asarray(data[f"expected_trunk_{i}"])
+            err = (np.abs(np.asarray(ours) - ref).max()
+                   / max(np.abs(ref).max(), 1e-6))
+            assert err < 0.08, (i, err)
+        return
+
+    grid = tuple(int(s) for s in data["expected"].shape[1:3])
     if "pos_embed" in params:  # resample to the fixture's patch grid
         params = interpolate_pos_embed(params, grid[0])
     module = make_feature_extractor(
@@ -295,3 +326,44 @@ def test_golden_activation_fixture(feature_type):
     ref = np.asarray(data["expected"])
     err = np.abs(ours - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert err < 0.08, err
+
+
+def test_golden_recipe_roundtrip_clip(tmp_path):
+    """End-to-end rehearsal of the fixture-production recipe
+    (scripts/make_backbone_golden.py) without egress: a local torch CLIP
+    mimic plays the hub checkpoint - write_golden records its trunk taps,
+    the converter writes the flax npz, and the same verification the golden
+    harness runs must pass. Proves the recipe itself, so the only unproven
+    step on a real host is the download."""
+    from tests.test_weight_conversion import TorchModifiedResNet
+    from nvblox_mindmap_tpu.models.weight_conversion import (
+        convert_clip_resnet_weights,
+        save_variables_npz,
+    )
+    from nvblox_mindmap_tpu.scripts.convert_backbone_weights import (
+        write_golden,
+    )
+
+    layers, width = (1, 1, 1, 1), 8
+    torch.manual_seed(3)
+    visual = TorchModifiedResNet(layers, width).eval()
+    with torch.no_grad():
+        for m in visual.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    golden = str(tmp_path / "clip_resnet50_fpn_golden.npz")
+    write_golden(
+        FeatureExtractorType.CLIP_RESNET50_FPN, visual, golden, image_hw=32
+    )
+    state = {"visual." + k: v.numpy() for k, v in visual.state_dict().items()}
+    variables = convert_clip_resnet_weights(state, layers=layers)
+    weights = str(tmp_path / "clip_resnet50_fpn.npz")
+    save_variables_npz(
+        weights, {"params": {"backbone": variables["params"]}}
+    )
+    _verify_golden_fixture(
+        FeatureExtractorType.CLIP_RESNET50_FPN, golden, weights,
+        layers=layers, width=width,
+    )

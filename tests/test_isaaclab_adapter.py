@@ -220,6 +220,94 @@ def test_factory_is_import_guarded():
         make_isaaclab_environment("cube_stacking", "x.hdf5", "demo_0")
 
 
+class _Ns:
+    """Attribute bag for duck-typed env-cfg mocks."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _mock_arm_env_cfg(eef_offset=(0.0, 0.0, 0.1034)):
+    return _Ns(
+        recorders={"r": 1},
+        terminations={"t": 1},
+        actions=_Ns(arm_action=_Ns(
+            controller=_Ns(use_relative_mode=True),
+            scale=0.5,
+            body_offset=_Ns(pos=[0.0, 0.0, 0.0]),
+        )),
+        scene=_Ns(
+            ee_frame=_Ns(target_frames=[_Ns(offset=_Ns(pos=list(eef_offset)))]),
+            robot=_Ns(actuators={
+                "panda_shoulder": _Ns(stiffness=400.0, damping=80.0),
+                "panda_forearm": _Ns(stiffness=400.0, damping=80.0),
+            }),
+        ),
+        viewer=_Ns(eye=(0, 0, 0)),
+        sim=_Ns(render=_Ns(antialiasing_mode="On", carb_settings=None)),
+    )
+
+
+def test_perceptive_il_cfg_surgery_arm_absolute():
+    """update_env_cfg_for_perceptive_il mirrors reference
+    environments.py:109-195: recorders/terminations cleared, absolute-mode
+    IK + control-frame z-offset correction, stiffness 400->2000 / damping
+    80->240, viewer eye, deterministic render settings."""
+    from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import (
+        update_env_cfg_for_perceptive_il,
+    )
+    from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
+
+    cfg = update_env_cfg_for_perceptive_il(
+        _mock_arm_env_cfg(), EmbodimentType.ARM,
+        absolute_mode=True, render_settings="deterministic",
+    )
+    assert cfg.recorders == {} and cfg.terminations == {}
+    arm = cfg.actions.arm_action
+    assert arm.controller.use_relative_mode is False
+    assert arm.scale == 1.0
+    assert arm.body_offset.pos == [0.0, 0.0, 0.1034]
+    for group in ("panda_shoulder", "panda_forearm"):
+        assert cfg.scene.robot.actuators[group].stiffness == 2000.0
+        assert cfg.scene.robot.actuators[group].damping == 240.0
+    assert cfg.viewer.eye == (1.5, 1.5, 1.5)
+    assert cfg.sim.render.antialiasing_mode == "Off"
+
+    # Mismatched measurement-frame offset must trip the reference's assert.
+    with pytest.raises(AssertionError, match="same offset"):
+        update_env_cfg_for_perceptive_il(
+            _mock_arm_env_cfg(eef_offset=(0.0, 0.0, 0.0)),
+            EmbodimentType.ARM, absolute_mode=True,
+        )
+
+
+def test_perceptive_il_cfg_surgery_modes():
+    """Relative arm mode and humanoid leave actions untouched; high_quality
+    sets PathTracing; bad render settings raise."""
+    from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import (
+        update_env_cfg_for_perceptive_il,
+    )
+    from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
+
+    cfg = update_env_cfg_for_perceptive_il(
+        _mock_arm_env_cfg(), EmbodimentType.ARM,
+        absolute_mode=False, render_settings="high_quality",
+    )
+    assert cfg.actions.arm_action.controller.use_relative_mode is True
+    assert cfg.sim.render.carb_settings == {"rtx.rendermode": "PathTracing"}
+
+    cfg = update_env_cfg_for_perceptive_il(
+        _mock_arm_env_cfg(), EmbodimentType.HUMANOID,
+    )
+    assert cfg.recorders == {} and cfg.viewer.eye == (1.5, 1.5, 1.5)
+
+    with pytest.raises(ValueError, match="render settings"):
+        update_env_cfg_for_perceptive_il(
+            _mock_arm_env_cfg(), EmbodimentType.HUMANOID,
+            render_settings="fancy",
+        )
+
+
 def test_compare_states_matches_and_diverges():
     """Replay-divergence semantics of the reference's compare_states
     (isaaclab_datagen_utils.py:40-72): nested asset/state layout, per-element

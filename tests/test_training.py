@@ -294,15 +294,20 @@ def test_eval_sampler_reduced_schedule_fully_denoises(tmp_path):
 
 def test_eval_trims_non_divisible_batches_on_mesh(tmp_path):
     """drop_last=False val batches whose size isn't divisible by the device
-    mesh are trimmed (not crashed on) during evaluation."""
+    mesh are trimmed (not crashed on) during evaluation; the first eval batch
+    also emits the GT-vs-pred trajectory figure (reference
+    run_training.py:370-372)."""
     from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActor  # noqa
+    from nvblox_mindmap_tpu.utils.logging_utils import MetricLogger
 
     model_cfg, trainer_cfg = small_configs(tmp_path)
     mesh = make_data_mesh(jax.devices("cpu")[:8])
+    metric_logger = MetricLogger(artifact_dir=str(tmp_path / "artifacts"))
     trainer = Trainer(
         model_cfg, trainer_cfg,
         np.asarray([[-0.4, -0.9, 0.1], [1.4, 0.9, 1.9]], np.float32),
         mesh=mesh,
+        metric_logger=metric_logger,
     )
     rng = np.random.default_rng(0)
     template = random_batch(rng, batch_size=8)
@@ -320,6 +325,9 @@ def test_eval_trims_non_divisible_batches_on_mesh(tmp_path):
     )
     assert np.isfinite(loss)
     assert "distance_m" in metrics
+    figs = list((tmp_path / "artifacts" / "figures").glob("val_trajectory_*.png"))
+    assert len(figs) == 1, "per-eval trajectory PNG missing"
+    assert figs[0].stat().st_size > 1000
 
 
 def test_cli_rejects_unknown_flags():
