@@ -1,16 +1,21 @@
 """Benchmark: keypose-prediction latency + RGB-D fusion rate on one TPU chip.
 
-1. Keypose prediction p50: full DiffuserActor inference at the flagship
-   configuration (2048 mesh vertices x 768-d features, 100 DDPM denoising
-   steps, embedding dim 120) - the reference's inference hot path
-   (reference: diffuser_actor.py conditional_sample, 100x DiffusionHead).
-   Target (BASELINE.md): < 100 ms per keypose.
+1. Keypose prediction p50 at the reference's DEFAULT flagship configuration
+   (reference cli/args.py:72: data_type=RGBD_AND_MESH, RADIO ViT-B/16
+   features): 2048 mesh vertices x 768-d features PLUS 2 cameras x 512x512
+   RGB-D with the frozen backbone forward INSIDE the policy
+   (encoder.encode_images runs FeatureExtractor.compute, reference
+   encoder.py:246-300), then 100 DDPM denoising steps at embedding dim 120.
+   Target (BASELINE.md): < 100 ms per keypose. A mesh-only p50 rides along
+   as a secondary key (the lighter config earlier rounds reported).
 2. Fusion rate: one full mapper step (decay + TSDF depth integration +
-   768-d feature integration at 512x512, drill_in_box AABB at 1 cm voxels).
-   Target: >= 30 Hz.
+   768-d feature integration) from a 512x512 RGB-D frame (the reference's
+   camera resolution, model_overview.md:67), drill_in_box AABB at 1 cm
+   voxels. Target: >= 30 Hz.
 
 Primary metric = keypose latency; vs_baseline = 100ms / p50 (>1 is faster
-than target). The fusion rate rides along in the same JSON line.
+than target). The fusion rate rides along in the same JSON line. Backbone
+weights are random-initialized - values don't affect timing.
 """
 from __future__ import annotations
 
@@ -34,7 +39,7 @@ def _enable_compilation_cache():
     except Exception:
         pass
 
-def main():
+def main(data_type: str = "rgbd_and_mesh"):
     _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
@@ -47,11 +52,15 @@ def main():
     )
     from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
 
+    uses_rgb = data_type in ("rgbd", "rgbd_and_mesh")
     cfg = DiffuserActorConfig(
         embedding_dim=120,
         num_attn_heads=8,
-        data_type="mesh",
-        feature_type=FeatureExtractorType.RGB,
+        data_type=data_type,
+        # Reference default: RADIO ViT-B/16 forward inside the policy
+        # (cli/args.py:74); mesh-only carries precomputed 768-d features.
+        feature_type=(FeatureExtractorType.RADIO_V25_B if uses_rgb
+                      else FeatureExtractorType.RGB),
         diffusion_timesteps=100,
         fps_subsampling_factor=5,
     )
@@ -62,6 +71,7 @@ def main():
 
     rng = np.random.default_rng(0)
     B, NV, FD = 1, 2048, 768
+    NCAM, IMG = 2, 512  # arm default: wrist + table cams at 512x512
 
     def pose8(shape):
         pos = rng.uniform(-0.3, 0.6, size=shape + (3,))
@@ -80,6 +90,15 @@ def main():
         ),
         "vertices_valid_mask": jnp.ones((B, NV), dtype=bool),
     }
+    if uses_rgb:
+        batch["rgbs"] = jnp.asarray(
+            rng.uniform(0, 1, size=(B, NCAM, IMG, IMG, 3)), dtype=jnp.float32
+        )
+        batch["pcds"] = jnp.asarray(
+            rng.uniform(-0.3, 0.6, size=(B, NCAM, IMG, IMG, 3)),
+            dtype=jnp.float32,
+        )
+        batch["pcd_valid_mask"] = jnp.ones((B, NCAM, IMG, IMG), dtype=bool)
     noisy = jnp.zeros((B, 1, 1, 9))
     ts = jnp.zeros((B,), dtype=jnp.int32)
 
@@ -182,10 +201,10 @@ def _bench_fusion_hz() -> float:
     )
     state = vg.create_state(cfg)
     rng = np.random.default_rng(0)
-    H = W = 256
+    H = W = 512  # the reference fuses 512x512 frames (model_overview.md:67)
     depth = jnp.asarray(rng.uniform(0.5, 2.0, (H, W)), dtype=jnp.float32)
     T = jnp.eye(4)
-    K = jnp.asarray([[200.0, 0, 128], [0, 200.0, 128], [0, 0, 1]])
+    K = jnp.asarray([[400.0, 0, 256], [0, 400.0, 256], [0, 0, 1]])
     feat = jnp.asarray(rng.normal(size=(512, 512, 768)), dtype=jnp.float16)
     fK = jnp.asarray([[400.0, 0, 256], [0, 400.0, 256], [0, 0, 1]])
 
@@ -231,11 +250,11 @@ def _bench_fusion_hz_with_backbone() -> float:
     )
     state = vg.create_state(cfg)
     rng = np.random.default_rng(0)
-    H = W = 256
+    H = W = 512  # the reference fuses 512x512 frames (model_overview.md:67)
     depth = jnp.asarray(rng.uniform(0.5, 2.0, (H, W)), dtype=jnp.float32)
     rgb = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), dtype=jnp.float32)
     T = jnp.eye(4)
-    K = jnp.asarray([[200.0, 0, 128], [0, 200.0, 128], [0, 0, 1]])
+    K = jnp.asarray([[400.0, 0, 256], [0, 400.0, 256], [0, 0, 1]])
     fK = jnp.asarray([[400.0, 0, 256], [0, 400.0, 256], [0, 0, 1]])
 
     module = make_feature_extractor(
@@ -392,6 +411,11 @@ if __name__ == "__main__":
         if what == "keypose":
             ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms, b8_ms = main()
             print(ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms, b8_ms)
+        elif what == "keypose_mesh":
+            ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms, b8_ms = main(
+                data_type="mesh"
+            )
+            print(ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms, b8_ms)
         elif what == "fusion_backbone":
             print(_bench_fusion_hz_with_backbone())
         elif what == "train":
@@ -401,6 +425,8 @@ if __name__ == "__main__":
     else:
         (p50_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms,
          serving_b8_ms) = _run_in_subprocess("keypose")
+        (mesh_p50_ms, mesh_ddim_ms, mesh_pipelined_ms, _mesh_pddim,
+         _mesh_b8) = _run_in_subprocess("keypose_mesh")
         (fusion_hz,) = _run_in_subprocess("fusion")
         (fusion_backbone_hz,) = _run_in_subprocess("fusion_backbone")
         # Train-step metric is best-effort: the flagship fwd+bwd program's
@@ -425,6 +451,9 @@ if __name__ == "__main__":
                     "serving_ddim10_b8_keyposes_per_s": round(
                         8000.0 / serving_b8_ms, 1
                     ),
+                    "mesh_only_p50_ms": round(mesh_p50_ms, 3),
+                    "mesh_only_ddim10_ms": round(mesh_ddim_ms, 3),
+                    "mesh_only_pipelined_ms": round(mesh_pipelined_ms, 3),
                     "fusion_hz": round(fusion_hz, 1),
                     "fusion_hz_vs_target": round(fusion_hz / 30.0, 2),
                     "fusion_hz_with_backbone": round(fusion_backbone_hz, 1),

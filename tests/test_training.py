@@ -330,6 +330,69 @@ def test_eval_trims_non_divisible_batches_on_mesh(tmp_path):
     assert figs[0].stat().st_size > 1000
 
 
+def test_dp_equivalence_1_vs_8_devices(tmp_path):
+    """Data parallelism is an implementation detail, not a semantics change:
+    the SAME global batch + rng on a 1-device vs 8-device mesh must produce
+    the same loss and the same GRADIENTS (the psum over the mesh equals the
+    serial batch mean, up to float reassociation). Reference anchor: DDP
+    allreduce semantics (run_training.py:608-613). Updated params are NOT
+    compared: Adam's first-step update is +-lr*sign(m/sqrt(v)), so a 1e-12
+    reassociation difference on a near-zero gradient legitimately flips an
+    update's sign."""
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        diffusion_train_loss,
+        prepare_inputs,
+    )
+    from nvblox_mindmap_tpu.parallel.mesh import replicate
+
+    model_cfg, trainer_cfg = small_configs(tmp_path)
+    model = DiffuserActor(model_cfg)
+    batch = random_batch(np.random.default_rng(0), batch_size=8)
+    bounds = jnp.asarray(BOUNDS, jnp.float32)
+    rng = jax.random.PRNGKey(7)
+
+    trainer = Trainer(
+        model_cfg, trainer_cfg, BOUNDS,
+        mesh=make_data_mesh(jax.devices("cpu")[:1]),
+    )
+    params_host = jax.device_get(trainer.init_state(batch)[0])
+
+    @jax.jit
+    def loss_and_grads(params, device_batch):
+        prepared = prepare_inputs(device_batch, bounds, model_cfg)
+
+        def loss_fn(p):
+            losses = diffusion_train_loss(
+                model, {"params": p}, prepared, rng, deterministic=True
+            )
+            return losses["total"]
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    results = {}
+    for n in (1, 8):
+        mesh = make_data_mesh(jax.devices("cpu")[:n])
+        loss, grads = loss_and_grads(
+            replicate(params_host, mesh), shard_batch(batch, mesh)
+        )
+        results[n] = (float(jax.device_get(loss)), jax.device_get(grads))
+
+    loss1, g1 = results[1]
+    loss8, g8 = results[8]
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat8 = jax.tree_util.tree_leaves(g8)
+    assert len(flat1) == len(flat8) > 50
+    for (path, a), b in zip(flat1, flat8):
+        # atol covers reassociation noise on near-cancelled elements sitting
+        # next to O(10) gradients; any real divergence is orders above it.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5,
+            err_msg=f"gradient diverged between meshes: {path}",
+        )
+
+
 def test_cli_rejects_unknown_flags():
     """Misspelled flags must error (Tap parity), not silently use defaults."""
     import pytest
