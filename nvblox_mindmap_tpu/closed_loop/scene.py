@@ -1,0 +1,312 @@
+"""Synthetic box-world scene: renderer + kinematic environment with cameras.
+
+The reference's closed-loop stack renders observations with Isaac Lab's tiled
+cameras over the cube-stacking scene (reference:
+mindmap/tasks/stack_cube_franka/stack_env_cfg.py scene objects,
+mindmap/isaaclab_utils/isaaclab_camera_handler.py RGB/depth/semantics). That
+renderer is sim-host-bound; this module is the hermetic TPU-repo equivalent:
+an analytic ray/AABB renderer over named boxes (table, cubes, a robot-arm
+marker) that produces the exact CameraFrame contract the policies consume -
+metric depth along the camera +z axis (the convention
+ops/backprojection.backproject_depth inverts), RGB in [0, 1], and integer
+semantic label images with an id->class map (so the dynamic 'robot_arm'
+masking path runs end-to-end, reference isaaclab_camera_handler.py:177-209).
+
+With real geometry in the cameras, ``SceneKinematicEnvironment`` closes the
+full capability loop hermetically: scripted demos -> datagen fusion -> policy
+training -> live mapping + diffusion -> task-evaluator success, mirroring the
+reference chain run_isaaclab_datagen -> run_training -> run_closed_loop_policy.
+Rendering is host-side numpy by design: it stands in for the external
+simulator, not for the TPU compute path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nvblox_mindmap_tpu.closed_loop.environment import (
+    CameraFrame,
+    KinematicEnvironment,
+)
+from nvblox_mindmap_tpu.geometry.np_rotations import (
+    matrix_to_quat,
+    quat_to_matrix,
+)
+
+# Per-hit-face brightness so box faces are visually distinct (a stand-in for
+# lighting; keeps flat-color boxes from merging into one blob in RGB).
+_FACE_SHADE = np.asarray([0.75, 0.9, 1.0])
+
+
+@dataclasses.dataclass
+class Box:
+    """Axis-aligned box: name + center + half extents + color + semantic id."""
+
+    name: str
+    center: np.ndarray  # (3,)
+    half_extents: np.ndarray  # (3,)
+    color: np.ndarray  # (3,) in [0, 1]
+    semantic_id: int = 0
+
+    def __post_init__(self):
+        self.center = np.asarray(self.center, dtype=np.float64)
+        self.half_extents = np.asarray(self.half_extents, dtype=np.float64)
+        self.color = np.asarray(self.color, dtype=np.float64)
+
+
+def look_at_pose7(
+    eye, target, up=(0.0, 0.0, 1.0)
+) -> np.ndarray:
+    """Camera-to-world pose7 (pos + wxyz) looking from eye at target.
+
+    Camera convention matches ops/backprojection.py: +z forward (optical
+    axis), +x right, +y down in the image.
+    """
+    eye = np.asarray(eye, dtype=np.float64)
+    fwd = np.asarray(target, dtype=np.float64) - eye
+    norm = np.linalg.norm(fwd)
+    assert norm > 1e-9, "look_at: eye and target coincide"
+    z_cam = fwd / norm
+    up = np.asarray(up, dtype=np.float64)
+    x_cam = np.cross(z_cam, up)
+    x_norm = np.linalg.norm(x_cam)
+    if x_norm < 1e-9:  # looking straight along up: pick an arbitrary right
+        x_cam = np.cross(z_cam, np.asarray([1.0, 0.0, 0.0]))
+        x_norm = np.linalg.norm(x_cam)
+    x_cam = x_cam / x_norm
+    y_cam = np.cross(z_cam, x_cam)
+    rot = np.stack([x_cam, y_cam, z_cam], axis=1)  # columns = camera axes
+    return np.concatenate([eye, matrix_to_quat(rot)]).astype(np.float32)
+
+
+def render_boxes(
+    boxes: List[Box],
+    pose7: np.ndarray,
+    intrinsics: np.ndarray,
+    height: int,
+    width: int,
+    background_color=(0.12, 0.12, 0.14),
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ray-cast boxes from a pinhole camera.
+
+    Returns (rgb (H, W, 3) float32 in [0, 1], depth (H, W) float32 meters
+    along camera +z with 0 = no hit, seg (H, W) int32 semantic ids with
+    0 = background).
+    """
+    pose7 = np.asarray(pose7, dtype=np.float64)
+    K = np.asarray(intrinsics, dtype=np.float64)
+    origin = pose7[:3]
+    rot = quat_to_matrix(pose7[3:7])
+
+    ii, jj = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    # Rays scaled so the parameter t IS the camera-z depth (d_cam.z == 1),
+    # the same convention backproject_depth inverts (backprojection.py:41-53).
+    d_cam = np.stack(
+        [
+            (ii + 0.0 - K[0, 2]) / K[0, 0],
+            (jj + 0.0 - K[1, 2]) / K[1, 1],
+            np.ones_like(ii, dtype=np.float64),
+        ],
+        axis=-1,
+    )
+    d_world = d_cam @ rot.T  # (H, W, 3)
+
+    depth = np.full((height, width), np.inf)
+    rgb = np.empty((height, width, 3), dtype=np.float64)
+    rgb[:] = np.asarray(background_color)
+    seg = np.zeros((height, width), dtype=np.int32)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_d = 1.0 / d_world  # inf where a component is 0 - slab-safe
+    for box in boxes:
+        bmin = box.center - box.half_extents
+        bmax = box.center + box.half_extents
+        t0 = (bmin - origin) * inv_d  # (H, W, 3)
+        t1 = (bmax - origin) * inv_d
+        t_lo = np.minimum(t0, t1)
+        t_hi = np.maximum(t0, t1)
+        # A zero direction component yields (-inf, inf) slabs when the origin
+        # is inside that slab and (inf, inf)/(-inf, -inf) when outside; the
+        # max/min below then rejects the ray - exactly the slab test.
+        t_near = np.nanmax(t_lo, axis=-1)
+        t_far = np.nanmin(t_hi, axis=-1)
+        hit = (t_near <= t_far) & (t_near > 1e-6) & (t_near < depth)
+        if not hit.any():
+            continue
+        # Which axis's slab produced t_near -> hit face -> shade.
+        face_axis = np.argmax(np.where(np.isfinite(t_lo), t_lo, -np.inf),
+                              axis=-1)
+        shade = _FACE_SHADE[face_axis]
+        depth = np.where(hit, t_near, depth)
+        rgb = np.where(hit[..., None], box.color * shade[..., None], rgb)
+        seg = np.where(hit, np.int32(box.semantic_id), seg)
+
+    depth = np.where(np.isfinite(depth), depth, 0.0)
+    return (
+        rgb.astype(np.float32),
+        depth.astype(np.float32),
+        seg,
+    )
+
+
+# Semantic ids for the scene classes (0 is background by convention).
+SEM_BACKGROUND = 0
+SEM_TABLE = 1
+SEM_OBJECT_BASE = 2  # object i gets SEM_OBJECT_BASE + i
+SEM_ROBOT = 200
+
+_CUBE_COLORS = np.asarray(
+    [[0.85, 0.2, 0.2], [0.2, 0.45, 0.85], [0.95, 0.8, 0.2], [0.3, 0.8, 0.35]]
+)
+
+
+class SceneKinematicEnvironment(KinematicEnvironment):
+    """KinematicEnvironment whose cameras render the actual scene.
+
+    Adds to the base class:
+    - a static table slab plus one box per named object (objects move with
+      the grasp kinematics, so the render always reflects object state);
+    - a robot-arm marker box at the end-effector, labelled 'robot_arm' (the
+      task configs' dynamic class, mapping/constants.py) so live mapping
+      exercises dynamic masking exactly like the Isaac boundary;
+    - settle-on-release gravity: a released object falls onto the highest
+      support below it (table or another object). This makes the
+      CubeStackingEvaluator's z-separation heuristic physically meaningful
+      in this world - floating cubes would otherwise over-count stacks (see
+      the deliberate-parity note in evaluators.py _num_stacked_cubes).
+    - a camera schedule: ``camera_pose_fn(step) -> {name: pose7}``; default
+      is a static table camera looking at the workspace center.
+    """
+
+    def __init__(
+        self,
+        embodiment,
+        initial_state: np.ndarray,
+        objects: Dict[str, np.ndarray],
+        object_half_extents: float = 0.04,
+        table_center=(0.5, 0.0, -0.025),
+        table_half_extents=(0.45, 0.5, 0.025),
+        camera_pose_fn: Optional[Callable[[int], Dict[str, np.ndarray]]] = None,
+        image_size: int = 64,
+        focal_px: Optional[float] = None,
+        render_robot_marker: bool = True,
+        waypoints: Optional[List[np.ndarray]] = None,
+        max_step_m: float = 0.05,
+        grasp_radius_m: float = 0.06,
+    ):
+        super().__init__(
+            embodiment,
+            initial_state,
+            waypoints or [],
+            max_step_m=max_step_m,
+            image_size=image_size,
+            objects=objects,
+            grasp_radius_m=grasp_radius_m,
+        )
+        self.object_half = float(object_half_extents)
+        self.table = Box(
+            "table",
+            np.asarray(table_center),
+            np.asarray(table_half_extents),
+            color=np.asarray([0.45, 0.33, 0.22]),
+            semantic_id=SEM_TABLE,
+        )
+        self.render_robot_marker = render_robot_marker
+        self._object_ids = {
+            name: SEM_OBJECT_BASE + i
+            for i, name in enumerate(sorted(self.initial_objects))
+        }
+        if camera_pose_fn is None:
+            table_pose = look_at_pose7(
+                eye=(0.5, -0.85, 0.55),
+                target=(0.5, 0.0, 0.05),
+            )
+
+            # Physically a table-mounted view, but recorded under the arm
+            # dataset contract's 'wrist' item names (embodiments/arm.py
+            # WRIST_ITEMS) so replay/datagen/training consume it unchanged.
+            def camera_pose_fn(step: int) -> Dict[str, np.ndarray]:
+                return {"wrist": table_pose}
+
+        self.camera_pose_fn = camera_pose_fn
+        self.focal_px = float(focal_px if focal_px is not None else image_size)
+
+    @property
+    def semantic_id_to_class(self) -> Dict[int, str]:
+        ids = {
+            SEM_BACKGROUND: "background",
+            SEM_TABLE: "table",
+            SEM_ROBOT: "robot_arm",
+        }
+        ids.update({v: k for k, v in self._object_ids.items()})
+        return ids
+
+    # --- physics: settle released objects -----------------------------------
+    def _support_top_below(self, name: str) -> float:
+        """Top z of the highest support under object ``name`` (table top or
+        another object overlapping in xy)."""
+        pos = self.objects[name][:3]
+        half = self.object_half
+        top = self.table.center[2] + self.table.half_extents[2]
+        for other, pose in self.objects.items():
+            if other == name:
+                continue
+            xy_overlap = np.all(
+                np.abs(pose[:2] - pos[:2]) < 2.0 * half - 1e-6
+            )
+            below = pose[2] + half <= pos[2] + 1e-6
+            if xy_overlap and below:
+                top = max(top, float(pose[2] + half))
+        return top
+
+    def _update_grasp(self) -> None:
+        held_before = self._held
+        super()._update_grasp()
+        if held_before is not None and self._held is None:
+            # Released: drop onto the highest support below.
+            self.objects[held_before][2] = (
+                self._support_top_below(held_before) + self.object_half
+            )
+
+    # --- rendering ------------------------------------------------------------
+    def _scene_boxes(self) -> List[Box]:
+        boxes = [self.table]
+        for i, (name, pose) in enumerate(sorted(self.objects.items())):
+            boxes.append(
+                Box(
+                    name,
+                    pose[:3],
+                    np.full(3, self.object_half),
+                    color=_CUBE_COLORS[i % len(_CUBE_COLORS)],
+                    semantic_id=self._object_ids[name],
+                )
+            )
+        if self.render_robot_marker:
+            eef = self.state[:3].astype(np.float64)
+            boxes.append(
+                Box(
+                    "robot_arm",
+                    eef + np.asarray([0.0, 0.0, 0.035]),
+                    np.asarray([0.015, 0.015, 0.035]),
+                    color=np.asarray([0.75, 0.75, 0.78]),
+                    semantic_id=SEM_ROBOT,
+                )
+            )
+        return boxes
+
+    def get_cameras(self) -> Dict[str, CameraFrame]:
+        H = W = self.image_size
+        f = self.focal_px
+        intr = np.asarray(
+            [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32
+        )
+        boxes = self._scene_boxes()
+        frames = {}
+        for name, pose7 in self.camera_pose_fn(self.steps).items():
+            rgb, depth, seg = render_boxes(boxes, pose7, intr, H, W)
+            frames[name] = CameraFrame(
+                rgb, depth, intr, np.asarray(pose7, np.float32), seg
+            )
+        return frames
