@@ -145,10 +145,10 @@ class DemoDataset:
         self.excluded_datasets = 0
         self.demo_info: Dict[str, Dict] = {}
         # Stateful transforms (GeometryAugmentor/Noiser/VertexSampler) share
-        # numpy Generators, which are NOT thread-safe; train prefetch and a
-        # concurrent train-val iteration both call __getitem__, so sample
-        # assembly is serialized (decode dominates and stays parallel across
-        # batches within one worker anyway).
+        # numpy Generators, which are NOT thread-safe; any path using
+        # ``self.transforms`` (plain __getitem__) is serialized. Parallel
+        # fetch goes through ``getitem_with_transforms`` with per-worker
+        # transform clones (see DataLoader._worker_transforms).
         import threading
 
         self._getitem_lock = threading.Lock()
@@ -264,7 +264,21 @@ class DemoDataset:
         with self._getitem_lock:
             return self._getitem_unlocked(global_idx)
 
-    def _getitem_unlocked(self, global_idx: int) -> Dict:
+    def getitem_with_transforms(self, global_idx: int, transforms: Dict) -> Dict:
+        """Lock-free fetch with a caller-OWNED transform stack.
+
+        ``demo_info`` is read-only after __init__ and ``_load_item`` is pure,
+        so concurrent fetches are safe as long as each caller brings its own
+        (exclusively used) transforms - the per-worker clones DataLoader
+        makes. The shared-``self.transforms`` path stays serialized above.
+        """
+        return self._getitem_unlocked(global_idx, transforms)
+
+    def _getitem_unlocked(
+        self, global_idx: int, transforms: Optional[Dict] = None
+    ) -> Dict:
+        if transforms is None:
+            transforms = self.transforms
         demo_path, sample_idx = self.locate(global_idx)
         info = self.demo_info[demo_path]
         policy_states = info["policy_states"]
@@ -278,8 +292,8 @@ class DemoDataset:
         else:
             candidates = np.arange(info["num_samples"])
 
-        for transforms in self.transforms.values():
-            for t in transforms:
+        for stack in transforms.values():
+            for t in stack:
                 t.reset()
 
         sample: Dict = {}
@@ -298,7 +312,7 @@ class DemoDataset:
                 )
             else:
                 value = _load_item(info[item_name][sample_idx])
-            for transform in self.transforms.get(item_name, []):
+            for transform in transforms.get(item_name, []):
                 value = transform(value)
             sample[item_name] = value
         return sample

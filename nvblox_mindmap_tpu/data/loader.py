@@ -128,8 +128,10 @@ class DataLoader:
         sampler: Optional[WeightedEpochSampler] = None,
         drop_last: bool = True,
         prefetch: int = 2,
+        num_workers: int = 1,
         num_shards: int = 1,
         shard_index: int = 0,
+        seed: int = 0,
     ):
         self.dataset = dataset
         self.embodiment = embodiment
@@ -140,8 +142,11 @@ class DataLoader:
         self.sampler = sampler
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.seed = seed
+        self._epoch = 0
 
     def _index_batches(self) -> List[List[int]]:
         if self.sampler is not None:
@@ -161,8 +166,16 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         return batches
 
-    def _make_batch(self, indices: Sequence[int]) -> Dict:
-        samples = [self.dataset[i] for i in indices]
+    def _make_batch(
+        self, indices: Sequence[int], transforms: Optional[Dict] = None
+    ) -> Dict:
+        if transforms is None:
+            samples = [self.dataset[i] for i in indices]
+        else:
+            samples = [
+                self.dataset.getitem_with_transforms(i, transforms)
+                for i in indices
+            ]
         collated = collate_batch(samples)
         return unpack_batch(
             self.embodiment,
@@ -172,16 +185,47 @@ class DataLoader:
             self.rgbd_min_depth_threshold,
         )
 
+    def _worker_transforms(self, worker_idx: int, epoch: int) -> Dict:
+        """Per-worker transform-stack clone with its own deterministic RNG.
+
+        Mirrors the torch DataLoader worker model the reference trains with
+        (each worker draws from its own seeded stream): results are
+        reproducible for a fixed (seed, num_workers, epoch) but differ across
+        num_workers settings, exactly like the reference.
+        """
+        import copy
+
+        cloned = copy.deepcopy(self.dataset.transforms)
+        for stack in cloned.values():
+            for t in stack:
+                if hasattr(t, "_rng"):
+                    t._rng = np.random.default_rng(
+                        np.random.SeedSequence(
+                            [self.seed, 1 + epoch, worker_idx]
+                        )
+                    )
+        return cloned
+
     def __len__(self) -> int:
         return len(self._index_batches())
 
     def __iter__(self):
         batches = self._index_batches()
-        if self.prefetch <= 0:
+        epoch = self._epoch
+        self._epoch += 1
+        if self.prefetch <= 0 or not batches:
             for indices in batches:
                 yield self._make_batch(indices)
             return
+        nw = min(self.num_workers, len(batches))
+        if nw <= 1:
+            yield from self._iter_single_worker(batches)
+        else:
+            yield from self._iter_pool(batches, nw, epoch)
 
+    def _iter_single_worker(self, batches):
+        """One prefetch thread using the dataset's own (locked) transforms -
+        the fully deterministic path, independent of num_workers."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
@@ -236,12 +280,79 @@ class DataLoader:
                 pass
             thread.join(timeout=5.0)
 
+    def _iter_pool(self, batches, nw: int, epoch: int):
+        """N worker threads, static round-robin batch assignment, results
+        delivered strictly in batch order with a bounded in-flight window.
+
+        Worker w builds batches w, w+nw, ... with its own transform clone
+        (deterministic for fixed (seed, num_workers, epoch)); the consumer
+        yields seq 0,1,2,... The window caps completed-but-unconsumed batches
+        so a fast worker can't buffer the whole epoch in RAM. Deadlock-free:
+        the worker holding the next-to-consume seq is always inside the
+        window, so it never blocks.
+        """
+        results: Dict[int, object] = {}
+        cond = threading.Condition()
+        stop = threading.Event()
+        state = {"next_seq": 0}
+        window = max(self.prefetch, 2) + nw
+
+        def worker(w: int):
+            transforms = self._worker_transforms(w, epoch)
+            for seq in range(w, len(batches), nw):
+                with cond:
+                    while (
+                        not stop.is_set()
+                        and seq - state["next_seq"] >= window
+                    ):
+                        cond.wait(0.1)
+                if stop.is_set():
+                    return
+                try:
+                    batch = self._make_batch(batches[seq], transforms)
+                except Exception as e:  # delivered in-order to the consumer
+                    batch = e
+                with cond:
+                    results[seq] = batch
+                    cond.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(nw)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for seq in range(len(batches)):
+                with cond:
+                    while seq not in results:
+                        cond.wait(0.5)
+                        if seq not in results and not any(
+                            t.is_alive() for t in threads
+                        ):
+                            raise RuntimeError(
+                                f"loader workers exited without batch {seq}"
+                            )
+                    item = results.pop(seq)
+                    state["next_seq"] = seq + 1
+                    cond.notify_all()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            with cond:
+                results.clear()
+                cond.notify_all()
+            for t in threads:
+                t.join(timeout=5.0)
+
 
 def get_data_loader_by_data_type(
     embodiment: EmbodimentBase,
     dataset_path: str,
     demos: str,
-    num_workers: int,  # kept for API parity; prefetch threads are used instead
+    num_workers: int,  # >1 enables the parallel batch-builder pool
     batch_size: int,
     use_keyposes: bool,
     data_type: DataType,
@@ -318,8 +429,10 @@ def get_data_loader_by_data_type(
         rgbd_min_depth_threshold=rgbd_min_depth_threshold,
         sampler=sampler,
         drop_last=drop_last,
+        num_workers=num_workers,
         num_shards=num_shards,
         shard_index=shard_index,
+        seed=seed,
     )
     return loader, sampler
 

@@ -485,3 +485,76 @@ def test_humanoid_gripper_state_change_weights(tmp_path):
         SamplingWeightingType.GRIPPER_STATE_CHANGE, True))
     # Both classes exist: some keypose transitions toggle a hand, most don't.
     assert len(np.unique(weights)) == 2
+
+
+def _pool_loader(demo_dataset_dir, num_workers, data_type=DataType.RGBD_AND_MESH):
+    loader, _ = get_data_loader_by_data_type(
+        embodiment=ArmEmbodiment(),
+        dataset_path=demo_dataset_dir,
+        demos="0-1",
+        num_workers=num_workers,
+        batch_size=4,
+        use_keyposes=True,
+        data_type=data_type,
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+        include_failed_demos=False,
+        sampling_weighting_type=SamplingWeightingType.NONE,
+        num_history=3,
+        prediction_horizon=1,
+        num_vertices_to_sample=64,
+        vertex_sampling_method=VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT,
+        seed=0,
+        drop_last=False,
+    )
+    return loader
+
+
+def _assert_batches_equal(a, b, keys):
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        for k in keys:
+            if ba[k] is None:
+                assert bb[k] is None
+            else:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+
+def test_loader_pool_deterministic(demo_dataset_dir):
+    """num_workers>1 pool: identical epochs for a fixed (seed, num_workers),
+    including the per-worker RNG-dependent vertex subsampling."""
+    all_keys = ["gripper_history", "gt_gripper_pred", "rgbs", "pcds",
+                "pcd_valid_mask", "vertices", "vertex_features",
+                "vertices_valid_mask", "is_keypose"]
+    run1 = list(_pool_loader(demo_dataset_dir, num_workers=3))
+    run2 = list(_pool_loader(demo_dataset_dir, num_workers=3))
+    _assert_batches_equal(run1, run2, all_keys)
+
+
+def test_loader_pool_matches_single_worker_content(demo_dataset_dir):
+    """Pool vs single-worker: identical batch ORDER and identical content for
+    every non-RNG item (vertex subsampling draws differ by design, mirroring
+    torch's per-worker RNG streams)."""
+    deterministic_keys = ["gripper_history", "gt_gripper_pred", "rgbs",
+                          "pcds", "pcd_valid_mask", "is_keypose"]
+    single = list(_pool_loader(demo_dataset_dir, num_workers=0))
+    pooled = list(_pool_loader(demo_dataset_dir, num_workers=4))
+    _assert_batches_equal(single, pooled, deterministic_keys)
+
+
+def test_loader_pool_propagates_exceptions(demo_dataset_dir):
+    """A worker exception surfaces to the consumer (in batch order) instead of
+    silently truncating the epoch."""
+    loader = _pool_loader(demo_dataset_dir, num_workers=3)
+    orig = loader._make_batch
+
+    def failing(indices, transforms=None):
+        batch_idx = getattr(failing, "n", 0)
+        if 2 in indices:
+            raise RuntimeError("boom")
+        return orig(indices, transforms)
+
+    loader._make_batch = failing
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)

@@ -1,0 +1,123 @@
+"""Multi-PROCESS smoke test for parallel/multihost.py.
+
+The reference validates its distributed sampler with actually-spawned
+processes (reference: mindmap/tests/test_distributed_sampling.py:28-49 spawns
+gloo workers). Everything else in this repo exercises sharding on a
+single-process virtual mesh; this test spawns two real Python processes,
+initializes the jax distributed runtime over localhost, and drives the
+process-level collective surface: process_allgather-based metric reduction,
+barriers, and a cross-process psum on a global mesh.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=os.environ["COORD"],
+        num_processes=2,
+        process_id=int(os.environ["PROC_ID"]),
+    )
+    import numpy as np
+
+    sys.path.insert(0, os.environ["REPO"])
+    from nvblox_mindmap_tpu.parallel.multihost import (
+        all_gather_metrics,
+        barrier,
+        get_rank,
+        get_world_size,
+        is_distributed,
+        mean_metrics_across_processes,
+    )
+
+    assert is_distributed()
+    assert get_world_size() == 2
+    rank = get_rank()
+    barrier("start")
+
+    gathered = all_gather_metrics({"loss": float(rank), "n": 10 * (rank + 1)})
+    means = mean_metrics_across_processes({"loss": float(rank)})
+
+    # Cross-process device collective on the global mesh: every process
+    # contributes its local device's shard; psum must see both.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices())  # 2 global devices, 1 per process
+    assert devs.size == 2
+    mesh = Mesh(devs, ("dp",))
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("dp")),
+        np.asarray([float(rank + 1)]),
+        (2,),
+    )
+    total = jax.jit(
+        lambda x: jax.lax.psum(x, "dp"),
+        in_shardings=NamedSharding(mesh, P("dp")),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    summed = np.asarray(
+        jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
+        .addressable_data(0)
+    )
+    barrier("end")
+    print("RESULT" + json.dumps({
+        "rank": rank,
+        "gathered": [float(g["loss"]) for g in gathered],
+        "ns": [int(g["n"]) for g in gathered],
+        "mean": float(means["loss"]),
+        "sum": float(summed),
+    }))
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_collectives(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(
+        os.environ,
+        COORD=f"127.0.0.1:{port}",
+        REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env, "PROC_ID": str(i)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    for i, out in enumerate(outs):
+        line = next(l for l in out.splitlines() if l.startswith("RESULT"))
+        res = json.loads(line[len("RESULT"):])
+        assert res["rank"] == i
+        # Metric gather saw BOTH processes' values, in rank order.
+        assert res["gathered"] == [0.0, 1.0]
+        assert res["ns"] == [10, 20]
+        assert res["mean"] == 0.5
+        # Device-level reduction crossed the process boundary: 1 + 2.
+        assert res["sum"] == 3.0
