@@ -20,6 +20,7 @@ weights are random-initialized - values don't affect timing.
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Optional
 
@@ -290,13 +291,16 @@ def _bench_fusion_hz_with_backbone() -> float:
     return best
 
 
-def _bench_train_step_ms() -> float:
+def _bench_train_step() -> tuple:
     """Full training-step time at the flagship configuration, batch 32.
 
     One compiled program: preprocess -> encode -> DDPM noise -> denoise ->
     loss -> grad -> AdamW update, with donated params/opt_state (the
     production trainer path, training/trainer.py). Steps chain on the donated
     state, so the loop is naturally pipelined.
+
+    Returns (step_ms, step_gflops): gflops from XLA's cost analysis of the
+    compiled program, for the roofline/MFU estimate in the summary JSON.
     """
     import jax
 
@@ -366,7 +370,136 @@ def _bench_train_step_ms() -> float:
             )
         jax.block_until_ready(losses["total"])
         best = min(best, (time.perf_counter() - t0) / n * 1000)
-    return best
+
+    # FLOP count of the compiled step (XLA cost analysis; re-lowering hits
+    # the trace/compile caches).
+    gflops = None
+    try:
+        rng_key = jax.random.PRNGKey(0)
+        ca = trainer._train_step.lower(
+            params, opt_state, device_batch, rng_key
+        ).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        gflops = float(ca.get("flops", 0.0)) / 1e9
+    except Exception:
+        pass
+    return best, (gflops if gflops else -1.0)
+
+
+def _bench_loader_samples_per_s() -> float:
+    """Input-pipeline throughput at flagship-like shapes (host-only).
+
+    Synthesizes an on-disk dataset shaped like production captures - 512x512
+    RGB (PNG) + 512x512 uint16 depth (PNG) + 768-d fp16 feature meshes with
+    realistic low-rank structure (zstd-compressible, like real backbone
+    features) - then times the production DataLoader (native zstd/png decode
+    + prefetch threads + keypose windowing + backprojection) delivering
+    batch-32 rgbd_and_mesh training batches. Compare against
+    train_samples_per_s: loader >> train means the feed keeps the chip busy.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # host pipeline: no TPU needed
+    import shutil
+    import tempfile
+
+    import imageio.v2 as imageio
+
+    from nvblox_mindmap_tpu.data.dataset import (
+        SamplingWeightingType,
+        pickle_zst,
+    )
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    rng = np.random.default_rng(0)
+    root = tempfile.mkdtemp(prefix="bench_loader_")
+    try:
+        n_frames, NV, FD = 48, 6000, 768
+        H = W = 512
+        # Shared photographic-ish content; per-frame noise defeats any
+        # content-dedup caching between frames.
+        yy, xx = np.mgrid[0:H, 0:W]
+        base_rgb = np.stack(
+            [xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 37.0)], axis=-1
+        )
+        lowrank_a = rng.normal(size=(NV, 16)).astype(np.float16)
+        for d in range(2):
+            demo = os.path.join(root, f"demo_{d:05d}")
+            os.makedirs(demo)
+            np.save(os.path.join(demo, "demo_successful.npy"), np.asarray(1))
+            t = np.linspace(0, 1, n_frames)
+            pos = np.stack(
+                [0.3 + 0.3 * t, 0.1 * np.sin(2 * np.pi * t),
+                 0.2 + 0.2 * np.sin(np.pi * t)], axis=1)
+            jaws = np.full((n_frames, 2), 0.04)
+            jaws[n_frames // 3: 2 * n_frames // 3] = 0.01
+            for i in range(n_frames):
+                state = np.concatenate(
+                    [pos[i], [1, 0, 0, 0], jaws[i]]).astype(np.float32)
+                np.save(os.path.join(demo, f"{i}.robot_state.npy"), state)
+                rgb = np.clip(
+                    base_rgb + rng.normal(0, 0.02, (H, W, 3)), 0, 1)
+                imageio.imwrite(
+                    os.path.join(demo, f"{i}.wrist_rgb.png"),
+                    (rgb * 255).astype(np.uint8))
+                depth = (1000 * (0.8 + 0.2 * np.sin(xx / 53.0 + i))).astype(
+                    np.uint16)
+                imageio.imwrite(
+                    os.path.join(demo, f"{i}.wrist_depth.png"), depth)
+                np.save(os.path.join(demo, f"{i}.wrist_pose.npy"),
+                        np.asarray([0.3, 0, 0.9, 0, 1, 0, 0], np.float32))
+                np.save(os.path.join(demo, f"{i}.wrist_intrinsics.npy"),
+                        np.asarray([[400.0, 0, 256], [0, 400.0, 256],
+                                    [0, 0, 1]], np.float32))
+                feats = (
+                    lowrank_a @ rng.normal(size=(16, FD)).astype(np.float16)
+                    + rng.normal(0, 0.05, (NV, FD))
+                ).astype(np.float16)
+                pickle_zst(
+                    {"vertices": rng.uniform(-0.2, 0.9, (NV, 3)).astype(
+                        np.float16),
+                     "features": feats, "channel_length": FD},
+                    os.path.join(demo, f"{i}.nvblox_vertex_features.zst"),
+                )
+
+        loader, _ = get_data_loader_by_data_type(
+            embodiment=ArmEmbodiment(),
+            dataset_path=root,
+            demos="0-1",
+            num_workers=4,
+            batch_size=32,
+            use_keyposes=True,
+            data_type="rgbd_and_mesh",
+            only_sample_keyposes=False,
+            extra_keyposes_around_grasp_events=[],
+            keypose_detection_mode=(
+                KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION
+            ),
+            include_failed_demos=False,
+            sampling_weighting_type=SamplingWeightingType.NONE,
+            num_history=3,
+            prediction_horizon=1,
+            num_vertices_to_sample=2048,
+            vertex_sampling_method=(
+                VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT
+            ),
+            seed=0,
+            drop_last=False,
+        )
+        best = 0.0
+        for _ in range(3):  # first epoch warms page cache / decoder state
+            n_samples = 0
+            t0 = time.perf_counter()
+            for batch in loader:
+                n_samples += batch["gripper_history"].shape[0]
+            best = max(best, n_samples / (time.perf_counter() - t0))
+        return best
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _run_in_subprocess(
@@ -419,7 +552,10 @@ if __name__ == "__main__":
         elif what == "fusion_backbone":
             print(_bench_fusion_hz_with_backbone())
         elif what == "train":
-            print(_bench_train_step_ms())
+            ms, gflops = _bench_train_step()
+            print(ms, gflops)
+        elif what == "loader":
+            print(_bench_loader_samples_per_s())
         else:
             print(_bench_fusion_hz())
     else:
@@ -433,11 +569,24 @@ if __name__ == "__main__":
         # first compile can exceed the round budget on a cold cache; the
         # headline (driver-tracked) metrics must never be lost to it.
         try:
-            (train_step_ms,) = _run_in_subprocess(
+            (train_step_ms, train_gflops) = _run_in_subprocess(
                 "train", retries=0, timeout_s=2700
             )
         except RuntimeError:
-            train_step_ms = None
+            train_step_ms, train_gflops = None, None
+        try:
+            (loader_sps,) = _run_in_subprocess(
+                "loader", retries=0, timeout_s=1800
+            )
+        except RuntimeError:
+            loader_sps = None
+        # Roofline: achieved TFLOP/s and MFU vs the chip's bf16 peak
+        # (TPU v5e = 197 TFLOP/s; the step runs mixed fp32/bf16, so this is
+        # a conservative utilization bound).
+        tflops = mfu = None
+        if train_step_ms and train_gflops and train_gflops > 0:
+            tflops = train_gflops / train_step_ms  # GFLOP / ms == TFLOP/s
+            mfu = 100.0 * tflops * 1e12 / 197e12
         print(
             json.dumps(
                 {
@@ -466,6 +615,30 @@ if __name__ == "__main__":
                     "train_samples_per_s": (
                         round(32000.0 / train_step_ms, 1)
                         if train_step_ms else None
+                    ),
+                    "train_step_tflops_per_s": (
+                        round(tflops, 2) if tflops else None
+                    ),
+                    "train_mfu_pct_vs_v5e_bf16_peak": (
+                        round(mfu, 2) if mfu else None
+                    ),
+                    # Host input pipeline is CPU-parallel (loader worker
+                    # pool); this box has os.cpu_count() cores, so the
+                    # honest scaling statement is per-core throughput plus
+                    # how many cores a production TPU host (dozens) needs
+                    # to saturate the measured device step.
+                    "loader_samples_per_s_per_core": (
+                        round(loader_sps / os.cpu_count(), 1)
+                        if loader_sps else None
+                    ),
+                    "loader_host_cores": os.cpu_count(),
+                    "loader_cores_to_saturate_train": (
+                        round(
+                            (32000.0 / train_step_ms)
+                            / (loader_sps / os.cpu_count()),
+                            1,
+                        )
+                        if loader_sps and train_step_ms else None
                     ),
                 }
             )

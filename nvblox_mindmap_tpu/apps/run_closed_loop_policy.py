@@ -115,6 +115,20 @@ def main(argv=None, environment: str = "kinematic"):
                 else ["pov"]
             )
             return ReplayEnvironment(demo_path, embodiment, prefixes)
+        if environment in ("scene", "kinematic"):
+            # Demos recorded in the hermetic scene world carry a scene.json;
+            # rebuilding that world gives real cameras + object physics, so
+            # the task evaluator judges actual task semantics.
+            from nvblox_mindmap_tpu.closed_loop.scripted import env_from_scene_json
+
+            scene_env = env_from_scene_json(demo_path)
+            if scene_env is not None:
+                return scene_env
+            if environment == "scene":
+                raise FileNotFoundError(
+                    f"environment='scene' requires {demo_path}/scene.json "
+                    "(demos recorded via closed_loop/scripted.py)"
+                )
         gt = gt_goals_for(demo_path)
         initial = gt.goals[0]
         waypoints = [g[:3] for g in gt.goals[1:]]
@@ -155,9 +169,21 @@ def main(argv=None, environment: str = "kinematic"):
     def make_env(demo_path):  # noqa: F811 - wrap to serve the probe once
         cached = probe_cache.pop(demo_path, None)
         return cached if cached is not None else inner_make_env(demo_path)
+    # Scene-world demos may use different object counts/sizes than the Isaac
+    # task defaults; parameterize the evaluator from the actual scene.
+    task_params = {}
+    probe = probe_cache.get(demo_paths[0]) if demo_paths else None
+    if probe is not None and hasattr(probe, "object_half"):
+        names = [n for n in probe.get_object_poses() if n.startswith("cube_")]
+        if names:
+            task_params = {
+                "num_cubes": len(names),
+                "cube_side_length": 2.0 * probe.object_half,
+            }
     evaluator = make_evaluator_for_task(
         args.task, eval_file_path=args.eval_file_path,
         env_has_object_state=has_object_state,
+        task_params=task_params,
     )
     config = ClosedLoopConfig(
         max_num_steps_to_goal=args.max_num_steps_to_goal,

@@ -343,12 +343,15 @@ class MugInDrawerEvaluator(ArmEvaluatorBase):
 
 
 def make_evaluator_for_task(task, eval_file_path: Optional[str] = None,
-                            env_has_object_state: bool = True
+                            env_has_object_state: bool = True,
+                            task_params: Optional[Dict] = None
                             ) -> EvaluatorBase:
     """Task -> evaluator map (reference: closed_loop_policy.py:43-48).
 
     Falls back to BasicEvaluator when the environment exposes no object
     poses (e.g. demo replay, where success is the env's own term).
+    ``task_params`` overrides the Isaac-task defaults (e.g. num_cubes /
+    cube_side_length for scene-world demos with scaled geometry).
     """
     from nvblox_mindmap_tpu.embodiments.registry import Tasks
 
@@ -356,7 +359,9 @@ def make_evaluator_for_task(task, eval_file_path: Optional[str] = None,
         return BasicEvaluator(eval_file_path)
     task = Tasks(task)
     if task == Tasks.CUBE_STACKING:
-        return CubeStackingEvaluator(eval_file_path=eval_file_path)
+        return CubeStackingEvaluator(
+            eval_file_path=eval_file_path, **(task_params or {})
+        )
     if task == Tasks.MUG_IN_DRAWER:
         return MugInDrawerEvaluator(eval_file_path=eval_file_path)
     return BasicEvaluator(eval_file_path)

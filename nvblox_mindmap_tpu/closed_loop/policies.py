@@ -166,8 +166,19 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         num_history: int = 3,
         seed: int = 0,
         include_dynamic: bool = False,
+        num_inference_steps: Optional[int] = None,
+        scheduler_kind: str = "ddpm",
+        stochastic_sampling: bool = True,
     ):
+        """``num_inference_steps``/``scheduler_kind``/``stochastic_sampling``
+        select the reverse-diffusion sampler. Defaults match the reference
+        closed-loop policy (full stochastic DDPM at the training timestep
+        count, diffuser_actor.py:353-395); DDIM-10 deterministic is the
+        low-latency serving mode benchmarked in bench.py."""
         self.model = model
+        self.num_inference_steps = num_inference_steps
+        self.scheduler_kind = scheduler_kind
+        self.stochastic_sampling = stochastic_sampling
         self.params = params
         self.embodiment = embodiment
         self.config = model.config
@@ -340,12 +351,18 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         if self._infer is None:
             model, bounds = self.model, self.bounds
             cfg = self.config
+            n_steps = self.num_inference_steps
+            kind = self.scheduler_kind
+            stochastic = self.stochastic_sampling
 
             @jax.jit
             def infer(params, batch, key):
                 prepared = prepare_inputs(batch, bounds, cfg)
-                return sample_trajectory(model, {"params": params}, prepared, key,
-                                         bounds)
+                return sample_trajectory(
+                    model, {"params": params}, prepared, key, bounds,
+                    num_inference_steps=n_steps, scheduler_kind=kind,
+                    stochastic=stochastic,
+                )
 
             self._infer = infer
         self._key, key = jax.random.split(self._key)

@@ -47,11 +47,18 @@ def scripted_stack_goals(
     cube_half: float,
     hover_z: float = 0.22,
     retreat_pos=(0.4, 0.0, 0.3),
+    approach_from=None,
 ) -> List[np.ndarray]:
     """Expert goal sequence stacking cube_2 (and cube_3, ...) onto cube_1.
 
     Mirrors the Mimic expert's phase structure (approach / descend / grasp /
     lift / transport / place / release / retreat) as 8-dim arm policy states.
+
+    ``approach_from``: optional FIXED staging position replacing the
+    above-the-pick approach. With it, the first object-dependent keypose is
+    the pick itself - so a policy's gripper HISTORY carries no information
+    about where the object is, and predicting the pick requires reading the
+    observation (the control needed by the spatial-memory experiment).
     """
     names = sorted(objects)
     assert names[0] == "cube_1", f"expected cube_1..cube_N, got {names}"
@@ -60,8 +67,12 @@ def scripted_stack_goals(
     for level, name in enumerate(names[1:], start=1):
         pick = np.asarray(objects[name][:3], np.float64)
         place = base + np.asarray([0.0, 0.0, 2.0 * cube_half * level])
+        if approach_from is None:
+            approach = _goal([pick[0], pick[1], hover_z], 0.0)
+        else:
+            approach = _goal(approach_from, 0.0)
         goals += [
-            _goal([pick[0], pick[1], hover_z], 0.0),   # approach above
+            approach,                                  # approach / staging
             _goal(pick, 0.0),                          # descend
             _goal(pick, 1.0),                          # grasp
             _goal([pick[0], pick[1], hover_z], 1.0),   # lift
@@ -146,6 +157,43 @@ def record_scripted_demo(
     return rec.t
 
 
+def write_scene_json(demo_dir: str, env: SceneKinematicEnvironment) -> None:
+    """Persist the scene spec next to the demo so closed-loop evaluation can
+    reconstruct the same world (the sim-side analog: Isaac episodes re-spawn
+    the task scene from the env config + recorded reset state)."""
+    import json
+
+    spec = {
+        "objects": {k: [float(x) for x in v[:3]]
+                    for k, v in env.initial_objects.items()},
+        "object_half_extents": env.object_half,
+        "image_size": env.image_size,
+        "grasp_radius_m": env.grasp_radius_m,
+        "initial_state": [float(x) for x in env.initial_state],
+    }
+    with open(os.path.join(demo_dir, "scene.json"), "w") as f:
+        json.dump(spec, f, indent=2)
+
+
+def env_from_scene_json(demo_dir: str) -> Optional[SceneKinematicEnvironment]:
+    """Rebuild the SceneKinematicEnvironment recorded with a demo, or None."""
+    import json
+
+    path = os.path.join(demo_dir, "scene.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        spec = json.load(f)
+    return SceneKinematicEnvironment(
+        ArmEmbodiment(),
+        np.asarray(spec["initial_state"], np.float32),
+        objects={k: np.asarray(v) for k, v in spec["objects"].items()},
+        object_half_extents=spec["object_half_extents"],
+        image_size=int(spec["image_size"]),
+        grasp_radius_m=spec["grasp_radius_m"],
+    )
+
+
 def make_cube_stacking_env(
     seed: int,
     num_cubes: int = 2,
@@ -201,6 +249,7 @@ def generate_cube_stacking_demos(
         Callable[[SceneKinematicEnvironment], Callable]
     ] = None,
     require_expert_success: bool = True,
+    approach_from=None,
 ) -> List[str]:
     """Generate ``num_demos`` scripted stacking demos in the demo layout.
 
@@ -219,7 +268,9 @@ def generate_cube_stacking_demos(
         )
         if camera_pose_fn_factory is not None:
             env.camera_pose_fn = camera_pose_fn_factory(env)
-        goals = scripted_stack_goals(env.initial_objects, cube_half)
+        goals = scripted_stack_goals(
+            env.initial_objects, cube_half, approach_from=approach_from
+        )
         demo_dir = os.path.join(dataset_dir, f"demo_{d:05d}")
         evaluator = CubeStackingEvaluator(
             num_cubes=num_cubes, cube_side_length=2.0 * cube_half
@@ -227,6 +278,7 @@ def generate_cube_stacking_demos(
         evaluator.start_demo(f"demo_{d:05d}", env)
 
         n = record_scripted_demo(demo_dir, env, goals)
+        write_scene_json(demo_dir, env)
         evaluator.evaluate_step(env)
         if require_expert_success and not evaluator.current_success:
             raise AssertionError(

@@ -1,0 +1,282 @@
+"""Spatial-memory experiment: MESH (fused map) beats RGBD when the target
+leaves the field of view.
+
+This is the reference's headline claim (reference: README.md:31-47 "mindmap
+... enables the robot to act on things it has seen in the past";
+model_cards/model_overview.md:40-44): a policy conditioned on the
+reconstructed feature map retains goal accuracy after the camera looks away
+from the target, while a policy conditioned on instantaneous RGB-D cannot.
+
+Protocol (hermetic, closed_loop/scene.py world):
+1. Record N scripted pick-and-place demos where the camera sees the cubes
+   for the first few frames, then PANS AWAY for the rest of the episode.
+   The expert approaches the pick from a FIXED staging pose, so the gripper
+   history carries no information about the (randomized) cube position: at
+   the pick keypose the policy must read its observation.
+2. Train two policies identically except for data_type: "mesh" (datagen-fused
+   feature map) vs "rgbd" (instantaneous camera point cloud).
+3. Evaluate open-loop keypose error ON THE PICK KEYPOSES (targets within a
+   cube-half of the randomized cube_2). Post-pan, the rgbd observation is
+   IDENTICAL across scenes with different cube positions - its best possible
+   prediction is the mean training position (an information-theoretic floor,
+   not a capacity issue). The mesh observation still contains the cube.
+
+Run: python -m nvblox_mindmap_tpu.scripts.spatial_memory_experiment
+     [--out /tmp/spatial_memory] [--num_demos 6] [--train_iters 800]
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from nvblox_mindmap_tpu.closed_loop.scene import look_at_pose7
+from nvblox_mindmap_tpu.closed_loop.scripted import (
+    generate_cube_stacking_demos,
+)
+
+CUBE_HALF = 0.04
+STAGING = (0.5, 0.0, 0.22)
+# Camera pans between these view targets over steps [PAN_START, PAN_END).
+EYE = (0.5, -0.85, 0.55)
+TARGET_SCENE = (0.5, 0.0, 0.05)
+TARGET_AWAY = (-0.4, -1.1, 0.3)  # empty table corner: context, no cubes
+PAN_START, PAN_END = 2, 5
+
+
+def panning_camera_factory(env):
+    """Camera schedule: observe the scene briefly, then pan away for good."""
+
+    def camera_pose_fn(step: int) -> Dict[str, np.ndarray]:
+        a = np.clip((step - PAN_START) / (PAN_END - PAN_START), 0.0, 1.0)
+        target = (1 - a) * np.asarray(TARGET_SCENE) + a * np.asarray(TARGET_AWAY)
+        return {"wrist": look_at_pose7(EYE, target)}
+
+    return camera_pose_fn
+
+
+def generate_panning_demos(dataset_dir: str, num_demos: int, seed: int = 100,
+                           image_size: int = 64) -> List[str]:
+    demos = generate_cube_stacking_demos(
+        dataset_dir,
+        num_demos,
+        seed=seed,
+        num_cubes=2,
+        cube_half=CUBE_HALF,
+        image_size=image_size,
+        camera_pose_fn_factory=panning_camera_factory,
+        approach_from=STAGING,
+    )
+    # Sanity: the pan actually removes the cubes from view - every frame
+    # after PAN_END has zero cube-labelled pixels (ids 2..199 are objects).
+    import imageio.v2 as imageio
+
+    for demo in demos:
+        segs = sorted(
+            glob.glob(os.path.join(demo, "*.wrist_semantic.png")),
+            key=lambda p: int(os.path.basename(p).split(".")[0]),
+        )
+        assert len(segs) > PAN_END + 2
+        for path in segs[PAN_END + 1:]:
+            seg = np.asarray(imageio.imread(path))
+            cube_px = ((seg >= 2) & (seg < 200)).sum()
+            assert cube_px == 0, (
+                f"cubes still visible post-pan: {path} ({cube_px} px)"
+            )
+        early = np.asarray(imageio.imread(segs[0]))
+        assert ((early >= 2) & (early < 200)).sum() > 4, "cubes never seen"
+    return demos
+
+
+def fuse_demos(demo_dirs: List[str]) -> None:
+    from nvblox_mindmap_tpu.apps.run_datagen import (
+        make_mapping_feature_fn,
+        process_demo,
+    )
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+
+    cfg = MappingConfig.for_task(
+        Tasks.CUBE_STACKING, feature_dim=3, voxel_size_m=0.02,
+        max_feature_pages=512,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        upscaled_feature_image_size=(64, 64),
+        static_mask_erosion_iterations=2,
+        valid_depth_mask_erosion_iterations=2,
+        # Keep remembered surfaces alive while the camera is away: the task
+        # default (0.98/frame) is tuned for continuous re-observation.
+        tsdf_decay_factor=0.999,
+    )
+    feature_fn = make_mapping_feature_fn("rgb", cfg.upscaled_feature_image_size)
+    for d in demo_dirs:
+        process_demo(d, ArmEmbodiment(), cfg, feature_fn)
+
+
+def train_policy(dataset_dir: str, log_dir: str, data_type: str,
+                 num_demos: int, train_iters: int, seed: int = 0) -> str:
+    from nvblox_mindmap_tpu.apps.run_training import main as train_main
+
+    train_main(
+        [
+            "--dataset", dataset_dir,
+            "--task", "cube_stacking",
+            "--data_type", data_type,
+            "--feature_type", "rgb",
+            "--demos_train", f"0-{num_demos - 1}",
+            "--demos_valset", "0",
+            "--embedding_dim", "48",
+            "--diffusion_timesteps", "25",
+            "--fps_subsampling_factor", "4",
+            "--num_vertices_to_sample", "512",
+            "--image_size", "64", "64",
+            "--feature_image_size", "16", "16",
+            "--batch_size", "16",
+            "--batch_size_val", "4",
+            "--train_iters", str(train_iters),
+            "--val_freq", str(train_iters),
+            "--num_batches_per_test_eval", "1",
+            "--skip_train_val", "1",
+            "--base_log_dir", log_dir,
+            "--seed", str(seed),
+        ]
+    )
+    ckpts = sorted(
+        {os.path.realpath(p) for p in glob.glob(
+            os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))}
+    )
+    assert len(ckpts) == 1, ckpts
+    return ckpts[0]
+
+
+def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
+                            checkpoint: str, data_type: str) -> Dict:
+    """Open-loop error restricted to pick keyposes (targets at cube_2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.apps.run_open_loop_policy import make_infer_fn
+    from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+    from nvblox_mindmap_tpu.mapping.constants import get_workspace_bounds
+    from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActor
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+    from nvblox_mindmap_tpu.training.trainer import Trainer, TrainerConfig
+    from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActorConfig
+
+    cfg = DiffuserActorConfig(
+        embedding_dim=48,
+        num_attn_heads=8,
+        data_type=data_type,
+        feature_type=FeatureExtractorType.RGB,
+        feature_image_size=(16, 16),
+        diffusion_timesteps=25,
+        fps_subsampling_factor=4,
+    )
+    model = DiffuserActor(cfg)
+    bounds = jnp.asarray(get_workspace_bounds("cube_stacking"))
+    embodiment = ArmEmbodiment()
+    trainer = Trainer(cfg, TrainerConfig(save_checkpoint=False),
+                      np.asarray(bounds))
+    infer = make_infer_fn(model, bounds)
+
+    params = None
+    pick_errors, all_errors = [], []
+    for idx, demo in enumerate(demo_dirs):
+        with open(os.path.join(demo, "scene.json")) as f:
+            cube2 = np.asarray(json.load(f)["objects"]["cube_2"])
+        loader, _ = get_data_loader_by_data_type(
+            embodiment=embodiment,
+            dataset_path=dataset_dir,
+            demos=str(idx),
+            num_workers=0,
+            batch_size=1,
+            use_keyposes=True,
+            data_type=data_type,
+            only_sample_keyposes=True,
+            extra_keyposes_around_grasp_events=[],
+            keypose_detection_mode=(
+                KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION
+            ),
+            include_failed_demos=False,
+            sampling_weighting_type=SamplingWeightingType.NONE,
+            num_history=3,
+            prediction_horizon=1,
+            num_vertices_to_sample=512,
+            seed=0,
+        )
+        for i, batch in enumerate(loader):
+            if params is None:
+                params, _, _, _ = trainer.load_checkpoint(checkpoint, batch)
+            device_batch = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if x is not None else None,
+                batch,
+                is_leaf=lambda x: x is None,
+            )
+            traj, _, _ = infer(params, device_batch, jax.random.PRNGKey(i))
+            pred = np.asarray(traj)[0, 0, 0, :3]
+            gt = np.asarray(batch["gt_gripper_pred"])[0, 0, 0, :3]
+            err = float(np.linalg.norm(pred - gt))
+            all_errors.append(err)
+            if np.linalg.norm(gt - cube2) < CUBE_HALF:
+                pick_errors.append(err)
+    assert pick_errors, "no pick keyposes found in the evaluated demos"
+    return {
+        "data_type": data_type,
+        "pick_keypose_error_m": float(np.mean(pick_errors)),
+        "num_pick_keyposes": len(pick_errors),
+        "all_keypose_error_m": float(np.mean(all_errors)),
+        "num_keyposes": len(all_errors),
+    }
+
+
+def run_experiment(out_dir: str, num_demos: int = 6, train_iters: int = 800,
+                   seed: int = 100) -> Dict:
+    dataset = os.path.join(out_dir, "demos")
+    demos = generate_panning_demos(dataset, num_demos, seed=seed)
+    fuse_demos(demos)
+    results = {}
+    for data_type in ("mesh", "rgbd"):
+        ckpt = train_policy(
+            dataset, os.path.join(out_dir, f"logs_{data_type}"), data_type,
+            num_demos, train_iters,
+        )
+        results[data_type] = eval_pick_keypose_error(
+            dataset, demos, ckpt, data_type
+        )
+    mesh_err = results["mesh"]["pick_keypose_error_m"]
+    rgbd_err = results["rgbd"]["pick_keypose_error_m"]
+    results["summary"] = {
+        "mesh_pick_error_m": mesh_err,
+        "rgbd_pick_error_m": rgbd_err,
+        "rgbd_over_mesh_error_ratio": rgbd_err / max(mesh_err, 1e-9),
+    }
+    with open(os.path.join(out_dir, "spatial_memory_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="/tmp/spatial_memory")
+    p.add_argument("--num_demos", type=int, default=6)
+    p.add_argument("--train_iters", type=int, default=800)
+    p.add_argument("--seed", type=int, default=100)
+    args = p.parse_args(argv)
+    results = run_experiment(args.out, args.num_demos, args.train_iters,
+                             args.seed)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
