@@ -70,6 +70,22 @@ _WORKER = textwrap.dedent(
         jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
         .addressable_data(0)
     )
+
+    # Distributed sampler across REAL process boundaries (the reference's
+    # spawned-gloo scenario, test_distributed_sampling.py:28-49): each
+    # process draws its own shard of the epoch, the shards are exchanged
+    # with process_allgather, and together they must partition the epoch.
+    from jax.experimental import multihost_utils
+    from nvblox_mindmap_tpu.data.sampler import WeightedEpochSampler
+
+    sampler = WeightedEpochSampler(
+        np.ones(64), replacement=False, seed=7,
+        num_shards=2, shard_index=rank,
+    )
+    sampler.set_epoch(3)
+    mine = np.asarray(sampler.epoch_indices(), dtype=np.int32)
+    shards = np.asarray(multihost_utils.process_allgather(mine))
+
     barrier("end")
     print("RESULT" + json.dumps({
         "rank": rank,
@@ -77,6 +93,8 @@ _WORKER = textwrap.dedent(
         "ns": [int(g["n"]) for g in gathered],
         "mean": float(means["loss"]),
         "sum": float(summed),
+        "shard_sizes": [len(s) for s in shards],
+        "union": sorted(int(i) for s in shards for i in s),
     }))
     """
 )
@@ -121,3 +139,7 @@ def test_two_process_collectives(tmp_path):
         assert res["mean"] == 0.5
         # Device-level reduction crossed the process boundary: 1 + 2.
         assert res["sum"] == 3.0
+        # The two process-local sampler shards partition the epoch exactly
+        # (equal sizes, no overlap, full coverage).
+        assert res["shard_sizes"] == [32, 32]
+        assert res["union"] == list(range(64))
