@@ -62,7 +62,7 @@ def main(argv=None, environment: str = "kinematic"):
     mapping_config = MappingConfig.for_task(
         args.task, feature_dim=get_feature_dim(args.feature_type),
         voxel_size_m=args.voxel_size_m,
-    )
+    ).scaled_for_image_size(tuple(args.image_size))
 
     demo_paths = get_demo_paths(args.dataset, args.demos_closed_loop)
     use_gt_policy = args.demo_mode in ("execute_gt_goals", "gt")

@@ -156,7 +156,7 @@ def main(argv=None):
         projective_appearance_integrator_measurement_weight=(
             args.projective_appearance_integrator_measurement_weight
         ),
-    )
+    ).scaled_for_image_size(tuple(args.image_size))
     if args.max_num_attempts != 5:
         logger.warning(
             "--max_num_attempts has no effect: replay datagen is "

@@ -145,6 +145,41 @@ class MappingConfig:
             max_feature_pages=max_feature_pages,
         )
 
+    def scaled_for_image_size(
+        self, image_size: Tuple[int, int]
+    ) -> "MappingConfig":
+        """Adapt the 512x512-tuned per-pixel constants to a camera resolution.
+
+        The reference hardcodes the upscaled feature-image size and the mask
+        erosion radii for its 512x512 tiled cameras (reference:
+        mapping/nvblox_mapper_constants.py:34-37,
+        image_processing/image_mask.py erosion counts are pixel radii). At a
+        different capture resolution the feature image must match the camera
+        (per-pixel masks align 1:1) and pixel-count erosions must scale with
+        the image, or small frames are eroded to nothing (e.g. 17 px static
+        erosion erases half a 64x64 view). Identity at 512-height cameras.
+        Divergence (improvement): the reference never runs non-512 cameras;
+        pinned by tests/test_mapping.py::test_mapping_config_image_scaling.
+        """
+        scale = image_size[0] / 512.0
+        def _s(n: int) -> int:
+            return 0 if n == 0 else max(1, round(n * scale))
+        return dataclasses.replace(
+            self,
+            upscaled_feature_image_size=(
+                int(image_size[0]), int(image_size[1])
+            ),
+            static_mask_erosion_iterations=_s(
+                self.static_mask_erosion_iterations
+            ),
+            dynamic_mask_erosion_iterations=_s(
+                self.dynamic_mask_erosion_iterations
+            ),
+            valid_depth_mask_erosion_iterations=_s(
+                self.valid_depth_mask_erosion_iterations
+            ),
+        )
+
     @property
     def grid_shape(self) -> Tuple[int, int, int]:
         """Voxel grid dims, rounded up to block multiples."""

@@ -22,7 +22,7 @@ Protocol (hermetic, closed_loop/scene.py world):
    not a capacity issue). The mesh observation still contains the cube.
 
 Run: python -m nvblox_mindmap_tpu.scripts.spatial_memory_experiment
-     [--out /tmp/spatial_memory] [--num_demos 6] [--train_iters 800]
+     [--out /tmp/spatial_memory] [--num_demos 8] [--train_iters 1500]
 """
 from __future__ import annotations
 
@@ -132,11 +132,14 @@ def train_policy(dataset_dir: str, log_dir: str, data_type: str,
             "--demos_train", f"0-{num_demos - 1}",
             "--demos_valset", "0",
             "--embedding_dim", "48",
-            "--diffusion_timesteps", "25",
+            # Production timestep count: a 25-step schedule leaves the
+            # conditional DDPM sampler visibly wider (measured); eval noise
+            # would swamp the mesh-vs-rgbd gap this experiment shows.
+            "--diffusion_timesteps", "100",
             "--fps_subsampling_factor", "4",
             "--num_vertices_to_sample", "512",
-            "--image_size", "64", "64",
-            "--feature_image_size", "16", "16",
+            "--image_size", "64,64",
+            "--feature_image_size", "16,16",
             "--batch_size", "16",
             "--batch_size_val", "4",
             "--train_iters", str(train_iters),
@@ -178,7 +181,7 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
         data_type=data_type,
         feature_type=FeatureExtractorType.RGB,
         feature_image_size=(16, 16),
-        diffusion_timesteps=25,
+        diffusion_timesteps=100,
         fps_subsampling_factor=4,
     )
     model = DiffuserActor(cfg)
@@ -221,8 +224,17 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
                 batch,
                 is_leaf=lambda x: x is None,
             )
-            traj, _, _ = infer(params, device_batch, jax.random.PRNGKey(i))
-            pred = np.asarray(traj)[0, 0, 0, :3]
+            # Error of the 3-seed MEAN prediction: isolates what the policy
+            # KNOWS (its conditional mean) from stochastic-DDPM sampler
+            # width, which is identical machinery for both data types.
+            preds = [
+                np.asarray(
+                    infer(params, device_batch,
+                          jax.random.PRNGKey(1000 * s + idx * 31 + i))[0]
+                )[0, 0, 0, :3]
+                for s in range(3)
+            ]
+            pred = np.mean(preds, axis=0)
             gt = np.asarray(batch["gt_gripper_pred"])[0, 0, 0, :3]
             err = float(np.linalg.norm(pred - gt))
             all_errors.append(err)
@@ -238,7 +250,7 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
     }
 
 
-def run_experiment(out_dir: str, num_demos: int = 6, train_iters: int = 800,
+def run_experiment(out_dir: str, num_demos: int = 8, train_iters: int = 1500,
                    seed: int = 100) -> Dict:
     dataset = os.path.join(out_dir, "demos")
     demos = generate_panning_demos(dataset, num_demos, seed=seed)
@@ -269,8 +281,8 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="/tmp/spatial_memory")
-    p.add_argument("--num_demos", type=int, default=6)
-    p.add_argument("--train_iters", type=int, default=800)
+    p.add_argument("--num_demos", type=int, default=8)
+    p.add_argument("--train_iters", type=int, default=1500)
     p.add_argument("--seed", type=int, default=100)
     args = p.parse_args(argv)
     results = run_experiment(args.out, args.num_demos, args.train_iters,

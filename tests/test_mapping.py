@@ -519,3 +519,24 @@ def test_fuse_frame_rejects_wrong_resolution_masks():
     with pytest.raises(ValueError, match="feature_mask"):
         vg.fuse_frame(state, cfg, depth, feat, jnp.asarray(T), jnp.asarray(K),
                       fK, feature_mask=jnp.ones((H, W), bool))
+
+
+def test_mapping_config_image_scaling():
+    """scaled_for_image_size: identity at the reference's 512 cameras,
+    proportional pixel-radius erosions at other capture resolutions
+    (divergence-improvement pinned per mapping/constants.py docstring)."""
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+
+    cfg = MappingConfig.for_task(Tasks.CUBE_STACKING, feature_dim=3)
+    assert cfg.scaled_for_image_size((512, 512)) == cfg
+
+    small = cfg.scaled_for_image_size((64, 64))
+    assert small.upscaled_feature_image_size == (64, 64)
+    # 17 / 8 -> 2; 3 / 8 -> floor at 1; 20 / 8 -> 2.
+    assert small.static_mask_erosion_iterations == 2
+    assert small.dynamic_mask_erosion_iterations == 1
+    assert small.valid_depth_mask_erosion_iterations == 2
+    # Everything else is untouched.
+    assert small.voxel_size_m == cfg.voxel_size_m
+    assert small.aabb_min_m == cfg.aabb_min_m
+    assert small.feature_dim == cfg.feature_dim
