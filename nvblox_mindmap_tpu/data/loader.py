@@ -229,6 +229,10 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
+        # Bound now, used in the finally below: at interpreter shutdown the
+        # `queue` module global may already be torn down, and referencing it
+        # from a generator's cleanup would raise a spurious TypeError.
+        empty_exc = queue.Empty
 
         def _put(item) -> bool:
             # Bounded put that aborts when the consumer abandoned the
@@ -276,7 +280,7 @@ class DataLoader:
             try:
                 while True:
                     q.get_nowait()
-            except queue.Empty:
+            except empty_exc:
                 pass
             thread.join(timeout=5.0)
 

@@ -205,9 +205,14 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
             use_keyposes=True,
             data_type=data_type,
             only_sample_keyposes=True,
-            extra_keyposes_around_grasp_events=[],
+            # MUST match the training app's task defaults
+            # (embodiments/registry.py TASK_TO_* tables): evaluating against
+            # a different keypose set scores the model on targets it was
+            # never trained to predict (measured: a mismatched mode turned
+            # 2-5 cm pick errors into a systematic 14 cm "hover" offset).
+            extra_keyposes_around_grasp_events=[5],
             keypose_detection_mode=(
-                KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION
+                KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP
             ),
             include_failed_demos=False,
             sampling_weighting_type=SamplingWeightingType.NONE,
