@@ -144,6 +144,10 @@ def train_policy(dataset_dir: str, log_dir: str, data_type: str,
             "--batch_size_val", "4",
             "--train_iters", str(train_iters),
             "--val_freq", str(train_iters),
+            # Balance grasp/release flip samples (reference cli/args.py:262):
+            # the pick keypose this experiment scores is flip-adjacent, so
+            # both arms (mesh and rgbd) learn it at equal sample budgets.
+            "--sampling_weighting_type", "gripper_state_change",
             "--num_batches_per_test_eval", "1",
             "--skip_train_val", "1",
             "--base_log_dir", log_dir,

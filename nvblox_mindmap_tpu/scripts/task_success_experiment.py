@@ -1,0 +1,274 @@
+"""Trained-policy task success in the hermetic scene world, end to end.
+
+The full capability chain the reference runs across three apps (reference:
+run_isaaclab_datagen.py -> run_training.py -> closed_loop_policy.py:242-317),
+executed hermetically: scripted expert demos in the box-world scene ->
+datagen fusion -> run_training app -> NvbloxDiffuserActorPolicy with live
+mapping -> CubeStackingEvaluator judging success from object state.
+
+Stages are resumable (artifacts persist under --out):
+    gen        record + fuse N scripted cube-stacking demos
+    train      train the diffusion policy with the production task defaults
+    openloop   per-keypose open-loop error against the TRAINING keypose set
+    closedloop closed-loop rollout + task-evaluator summary (JSON to stdout
+               and <out>/closed_loop_summary.json)
+    all        everything
+
+Training notes (measured on this chain):
+  - The keypose set is part of the learning problem; open-loop eval uses the
+    same per-task defaults the training app resolves
+    (embodiments/registry.py) - see docs/pages/open_loop_evaluation.md.
+  - sampling_weighting_type=gripper_state_change (reference cli/args.py:262
+    option) balances the grasp/release flip samples; with uniform sampling
+    at this data scale the release-keypose openness stays undertrained and
+    the closed-loop policy stacks but never lets go.
+
+Run: python -m nvblox_mindmap_tpu.scripts.task_success_experiment all
+     [--out /tmp/task_success] [--num_demos 8] [--train_iters 4000]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+CUBE_HALF = 0.04
+N_VERTICES = 512
+EMB = 48
+TIMESTEPS = 100
+FPS_SUBSAMPLING = 4
+
+
+def gen_and_fuse(out: str, num_demos: int, seed: int) -> List[str]:
+    from nvblox_mindmap_tpu.apps.run_datagen import (
+        make_mapping_feature_fn,
+        process_demo,
+    )
+    from nvblox_mindmap_tpu.closed_loop.scripted import (
+        generate_cube_stacking_demos,
+    )
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    ds = os.path.join(out, "ds")
+    demos = generate_cube_stacking_demos(
+        ds, num_demos=num_demos, seed=seed, cube_half=CUBE_HALF
+    )
+    cfg = mapping_config()
+    feature_fn = make_mapping_feature_fn(
+        "rgb", cfg.upscaled_feature_image_size
+    )
+    for d in demos:
+        process_demo(d, ArmEmbodiment(), cfg, feature_fn)
+    return demos
+
+
+def mapping_config():
+    """The closed-loop app's config for 64x64 scene-world cameras."""
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+
+    cfg = MappingConfig.for_task(
+        Tasks.CUBE_STACKING, feature_dim=3, voxel_size_m=0.02,
+        max_feature_pages=512,
+    ).scaled_for_image_size((64, 64))
+    return cfg
+
+
+def train(out: str, num_demos: int, iters: int) -> str:
+    from nvblox_mindmap_tpu.apps.run_training import main as train_main
+
+    log_dir = os.path.join(out, "logs")
+    train_main([
+        "--dataset", os.path.join(out, "ds"),
+        "--task", "cube_stacking",
+        "--data_type", "mesh",
+        "--feature_type", "rgb",
+        "--demos_train", f"0-{num_demos - 1}",
+        "--demos_valset", "0",
+        "--embedding_dim", str(EMB),
+        "--diffusion_timesteps", str(TIMESTEPS),
+        "--fps_subsampling_factor", str(FPS_SUBSAMPLING),
+        "--num_vertices_to_sample", str(N_VERTICES),
+        "--batch_size", "16",
+        "--batch_size_val", "4",
+        "--train_iters", str(iters),
+        "--val_freq", "1000",
+        "--num_batches_per_test_eval", "1",
+        "--skip_train_val", "1",
+        "--sampling_weighting_type", "gripper_state_change",
+        "--base_log_dir", log_dir,
+        "--seed", "0",
+    ])
+    return latest_checkpoint(out)
+
+
+def latest_checkpoint(out: str) -> str:
+    ckpts = sorted({os.path.realpath(p) for p in glob.glob(
+        os.path.join(out, "logs", "checkpoints", "*", "last.ckpt"))})
+    assert ckpts, f"no checkpoint under {out}/logs"
+    return ckpts[-1]
+
+
+def load_model(checkpoint: str) -> Tuple:
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.mapping.constants import get_workspace_bounds
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor, DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import (
+        FeatureExtractorType,
+    )
+    from nvblox_mindmap_tpu.training.trainer import (
+        Trainer, TrainerConfig, make_train_batch_template,
+    )
+
+    cfg = DiffuserActorConfig(
+        embedding_dim=EMB, num_attn_heads=8, data_type="mesh",
+        feature_type=FeatureExtractorType.RGB,
+        diffusion_timesteps=TIMESTEPS,
+        fps_subsampling_factor=FPS_SUBSAMPLING,
+    )
+    model = DiffuserActor(cfg)
+    bounds = np.asarray(get_workspace_bounds("cube_stacking"))
+    trainer = Trainer(
+        cfg, TrainerConfig(batch_size=1, save_checkpoint=False), bounds
+    )
+    template = make_train_batch_template(
+        cfg, batch_size=1, n_vertices=N_VERTICES, feature_dim=3
+    )
+    params, _, _, _ = trainer.load_checkpoint(checkpoint, template)
+    return model, params, cfg, jnp.asarray(bounds)
+
+
+def open_loop_eval(out: str, num_demos: int, checkpoint: str) -> Dict:
+    """Per-keypose open-loop error against the TRAINING keypose set."""
+    import jax
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.apps.run_open_loop_policy import make_infer_fn
+    from nvblox_mindmap_tpu.apps.run_training import resolve_keypose_params
+    from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+    from nvblox_mindmap_tpu.utils.config import TrainingAppArgs
+
+    model, params, cfg, bounds = load_model(checkpoint)
+    infer = make_infer_fn(model, bounds)
+    args = TrainingAppArgs(task="cube_stacking")
+    extra, mode = resolve_keypose_params(args)
+    loader, _ = get_data_loader_by_data_type(
+        embodiment=ArmEmbodiment(),
+        dataset_path=os.path.join(out, "ds"),
+        demos=f"0-{num_demos - 1}",
+        num_workers=0, batch_size=1, use_keyposes=True, data_type="mesh",
+        only_sample_keyposes=True,
+        extra_keyposes_around_grasp_events=extra,
+        keypose_detection_mode=mode,
+        include_failed_demos=False,
+        sampling_weighting_type=SamplingWeightingType.NONE,
+        num_history=3, prediction_horizon=1,
+        num_vertices_to_sample=N_VERTICES,
+        vertex_sampling_method=(
+            VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT
+        ),
+        seed=0, drop_last=False,
+    )
+    errors, openness_correct = [], []
+    for i, batch in enumerate(loader):
+        db = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if x is not None else None, batch,
+            is_leaf=lambda x: x is None,
+        )
+        preds = [
+            np.asarray(infer(params, db, jax.random.PRNGKey(97 * s + i))[0])
+            [0, 0, 0] for s in range(3)
+        ]
+        pred = np.mean(preds, axis=0)
+        gt = np.asarray(batch["gt_gripper_pred"])[0, 0, 0]
+        errors.append(float(np.linalg.norm(pred[:3] - gt[:3])))
+        openness_correct.append(bool((pred[7] >= 0.5) == (gt[7] >= 0.5)))
+    result = {
+        "mean_keypose_error_m": float(np.mean(errors)),
+        "median_keypose_error_m": float(np.median(errors)),
+        "openness_accuracy": float(np.mean(openness_correct)),
+        "num_keyposes": len(errors),
+    }
+    print(json.dumps(result, indent=2))
+    return result
+
+
+def closed_loop(out: str, num_demos: int, checkpoint: str,
+                demos_subset: List[int] | None = None) -> Dict:
+    from nvblox_mindmap_tpu.closed_loop.evaluators import (
+        CubeStackingEvaluator,
+    )
+    from nvblox_mindmap_tpu.closed_loop.policies import (
+        NvbloxDiffuserActorPolicy,
+    )
+    from nvblox_mindmap_tpu.closed_loop.runner import (
+        ClosedLoopConfig, run_closed_loop_policy,
+    )
+    from nvblox_mindmap_tpu.closed_loop.scripted import env_from_scene_json
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    model, params, cfg, bounds = load_model(checkpoint)
+    embodiment = ArmEmbodiment()
+    ds = os.path.join(out, "ds")
+    indices = demos_subset or list(range(num_demos))
+    demos = [os.path.join(ds, f"demo_{i:05d}") for i in indices]
+
+    def make_env(demo_path):
+        env = env_from_scene_json(demo_path)
+        assert env is not None, f"{demo_path} has no scene.json"
+        return env
+
+    def make_policy(demo_path):
+        return NvbloxDiffuserActorPolicy(
+            model, params, embodiment, mapping_config(), np.asarray(bounds),
+            num_vertices_to_sample=N_VERTICES, seed=3,
+        )
+
+    evaluator = CubeStackingEvaluator(
+        num_cubes=2, cube_side_length=2 * CUBE_HALF
+    )
+    summary = run_closed_loop_policy(
+        make_env, make_policy, embodiment, evaluator, demo_names=demos,
+        config=ClosedLoopConfig(
+            max_num_steps=220, max_num_steps_to_goal=30, num_retries=2
+        ),
+    )
+    print(json.dumps(summary, indent=2, default=str))
+    with open(os.path.join(out, "closed_loop_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=str)
+    return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("stage", choices=[
+        "gen", "train", "openloop", "closedloop", "all"])
+    p.add_argument("--out", default="/tmp/task_success")
+    p.add_argument("--num_demos", type=int, default=8)
+    p.add_argument("--train_iters", type=int, default=4000)
+    p.add_argument("--seed", type=int, default=21)
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    if args.stage in ("gen", "all"):
+        gen_and_fuse(args.out, args.num_demos, args.seed)
+    if args.stage in ("train", "all"):
+        train(args.out, args.num_demos, args.train_iters)
+    if args.stage in ("openloop", "all"):
+        open_loop_eval(args.out, args.num_demos, latest_checkpoint(args.out))
+    if args.stage in ("closedloop", "all"):
+        closed_loop(args.out, args.num_demos, latest_checkpoint(args.out))
+
+
+if __name__ == "__main__":
+    main()
