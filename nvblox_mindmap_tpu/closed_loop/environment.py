@@ -196,6 +196,7 @@ class KinematicEnvironment(EnvironmentBase):
         image_size: int = 32,
         objects: Optional[Dict[str, np.ndarray]] = None,
         grasp_radius_m: float = 0.05,
+        fixed_objects: Optional[List[str]] = None,
     ):
         self.embodiment = embodiment
         self.initial_state = np.array(initial_state, dtype=np.float32)
@@ -211,6 +212,13 @@ class KinematicEnvironment(EnvironmentBase):
         self.initial_objects = {
             name: self._to_pose7(p) for name, p in (objects or {}).items()
         }
+        # Scene furniture (e.g. drawer bottoms) is part of the object-pose
+        # contract the evaluators read, but must never be grasped or settled
+        # (the reference's analog: articulated/fixed assets vs rigid objects
+        # in the Isaac task scenes).
+        self.fixed_objects = set(fixed_objects or [])
+        unknown = self.fixed_objects - set(self.initial_objects)
+        assert not unknown, f"fixed_objects not in objects: {sorted(unknown)}"
         self.reset()
 
     @staticmethod
@@ -264,9 +272,13 @@ class KinematicEnvironment(EnvironmentBase):
     def _update_grasp(self) -> None:
         eef = self.state[:3]
         closed = float(self.state[7]) >= 0.5
-        if closed and self._held is None and self.objects:
+        graspable = [
+            (n, p) for n, p in self.objects.items()
+            if n not in self.fixed_objects
+        ]
+        if closed and self._held is None and graspable:
             name, dist = min(
-                ((n, np.linalg.norm(p[:3] - eef)) for n, p in self.objects.items()),
+                ((n, np.linalg.norm(p[:3] - eef)) for n, p in graspable),
                 key=lambda kv: kv[1],
             )
             if dist < self.grasp_radius_m:

@@ -185,7 +185,7 @@ class SceneKinematicEnvironment(KinematicEnvironment):
         embodiment,
         initial_state: np.ndarray,
         objects: Dict[str, np.ndarray],
-        object_half_extents: float = 0.04,
+        object_half_extents=0.04,
         table_center=(0.5, 0.0, -0.025),
         table_half_extents=(0.45, 0.5, 0.025),
         camera_pose_fn: Optional[Callable[[int], Dict[str, np.ndarray]]] = None,
@@ -195,6 +195,8 @@ class SceneKinematicEnvironment(KinematicEnvironment):
         waypoints: Optional[List[np.ndarray]] = None,
         max_step_m: float = 0.05,
         grasp_radius_m: float = 0.06,
+        fixed_objects: Optional[List[str]] = None,
+        object_colors: Optional[Dict[str, np.ndarray]] = None,
     ):
         super().__init__(
             embodiment,
@@ -204,8 +206,34 @@ class SceneKinematicEnvironment(KinematicEnvironment):
             image_size=image_size,
             objects=objects,
             grasp_radius_m=grasp_radius_m,
+            fixed_objects=fixed_objects,
         )
-        self.object_half = float(object_half_extents)
+        # Uniform scalar half extent (cube tasks) or a per-object map of
+        # (3,) half extents (mug + drawer-bottom scenes have mixed sizes).
+        if isinstance(object_half_extents, dict):
+            missing = set(self.initial_objects) - set(object_half_extents)
+            assert not missing, f"objects without half extents: {missing}"
+            self.object_half_map = {
+                k: np.broadcast_to(
+                    np.asarray(v, dtype=np.float64), (3,)
+                ).copy()
+                for k, v in object_half_extents.items()
+            }
+            # Scalar fallback used by cube-task consumers (evaluator probe);
+            # per-object scenes should read object_half_map instead.
+            self.object_half = float(
+                np.median([h.max() for h in self.object_half_map.values()])
+            )
+        else:
+            self.object_half = float(object_half_extents)
+            self.object_half_map = {
+                name: np.full(3, self.object_half)
+                for name in self.initial_objects
+            }
+        self.object_colors = {
+            k: np.asarray(v, dtype=np.float64)
+            for k, v in (object_colors or {}).items()
+        }
         self.table = Box(
             "table",
             np.asarray(table_center),
@@ -248,17 +276,18 @@ class SceneKinematicEnvironment(KinematicEnvironment):
         """Top z of the highest support under object ``name`` (table top or
         another object overlapping in xy)."""
         pos = self.objects[name][:3]
-        half = self.object_half
+        half = self.object_half_map[name]
         top = self.table.center[2] + self.table.half_extents[2]
         for other, pose in self.objects.items():
             if other == name:
                 continue
+            other_half = self.object_half_map[other]
             xy_overlap = np.all(
-                np.abs(pose[:2] - pos[:2]) < 2.0 * half - 1e-6
+                np.abs(pose[:2] - pos[:2]) < half[:2] + other_half[:2] - 1e-6
             )
-            below = pose[2] + half <= pos[2] + 1e-6
+            below = pose[2] + other_half[2] <= pos[2] + 1e-6
             if xy_overlap and below:
-                top = max(top, float(pose[2] + half))
+                top = max(top, float(pose[2] + other_half[2]))
         return top
 
     def _update_grasp(self) -> None:
@@ -267,7 +296,8 @@ class SceneKinematicEnvironment(KinematicEnvironment):
         if held_before is not None and self._held is None:
             # Released: drop onto the highest support below.
             self.objects[held_before][2] = (
-                self._support_top_below(held_before) + self.object_half
+                self._support_top_below(held_before)
+                + self.object_half_map[held_before][2]
             )
 
     # --- rendering ------------------------------------------------------------
@@ -278,8 +308,10 @@ class SceneKinematicEnvironment(KinematicEnvironment):
                 Box(
                     name,
                     pose[:3],
-                    np.full(3, self.object_half),
-                    color=_CUBE_COLORS[i % len(_CUBE_COLORS)],
+                    self.object_half_map[name],
+                    color=self.object_colors.get(
+                        name, _CUBE_COLORS[i % len(_CUBE_COLORS)]
+                    ),
                     semantic_id=self._object_ids[name],
                 )
             )

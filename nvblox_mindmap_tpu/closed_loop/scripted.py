@@ -22,7 +22,10 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from nvblox_mindmap_tpu.closed_loop.goals import is_goal_reached
-from nvblox_mindmap_tpu.closed_loop.scene import SceneKinematicEnvironment
+from nvblox_mindmap_tpu.closed_loop.scene import (
+    SceneKinematicEnvironment,
+    look_at_pose7,
+)
 from nvblox_mindmap_tpu.data.writer import DemoWriter
 from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
 
@@ -166,7 +169,16 @@ def write_scene_json(demo_dir: str, env: SceneKinematicEnvironment) -> None:
     spec = {
         "objects": {k: [float(x) for x in v[:3]]
                     for k, v in env.initial_objects.items()},
-        "object_half_extents": env.object_half,
+        # Per-object half extents (mixed-size scenes); older scene.json
+        # files carry a single float, which the loader still accepts.
+        "object_half_extents": {
+            k: [float(x) for x in v]
+            for k, v in env.object_half_map.items()
+        },
+        "fixed_objects": sorted(env.fixed_objects),
+        "object_colors": {
+            k: [float(x) for x in v] for k, v in env.object_colors.items()
+        },
         "image_size": env.image_size,
         "grasp_radius_m": env.grasp_radius_m,
         "initial_state": [float(x) for x in env.initial_state],
@@ -184,13 +196,21 @@ def env_from_scene_json(demo_dir: str) -> Optional[SceneKinematicEnvironment]:
         return None
     with open(path) as f:
         spec = json.load(f)
+    half = spec["object_half_extents"]
+    if isinstance(half, dict):
+        half = {k: np.asarray(v) for k, v in half.items()}
     return SceneKinematicEnvironment(
         ArmEmbodiment(),
         np.asarray(spec["initial_state"], np.float32),
         objects={k: np.asarray(v) for k, v in spec["objects"].items()},
-        object_half_extents=spec["object_half_extents"],
+        object_half_extents=half,
         image_size=int(spec["image_size"]),
         grasp_radius_m=spec["grasp_radius_m"],
+        fixed_objects=spec.get("fixed_objects"),
+        object_colors={
+            k: np.asarray(v)
+            for k, v in spec.get("object_colors", {}).items()
+        },
     )
 
 
@@ -236,6 +256,144 @@ def make_cube_stacking_env(
         camera_pose_fn=camera_pose_fn,
         grasp_radius_m=grasp_radius_m,
     )
+
+
+# --- mug_in_drawer scene -----------------------------------------------------
+# Geometry mirrors the MugInDrawerEvaluator's reference-parity constants
+# (evaluators.py / reference mug_in_drawer_evaluator.py): drawer bottoms are
+# 0.4 x 0.65 trays, the mug is a 0.05-radius x 0.1-height body, and success
+# means the mug released inside the mugs drawer - the boxes drawer is the
+# distractor target the evaluator tracks as a failure mode.
+MUG_HALF = np.asarray([0.045, 0.045, 0.05])
+DRAWER_HALF = np.asarray([0.2, 0.325, 0.01])
+DRAWER_Z = 0.02  # tray bottom slab center: top surface at 0.03
+
+
+def make_mug_in_drawer_env(
+    seed: int,
+    image_size: int = 64,
+    camera_pose_fn: Optional[Callable[[int], Dict[str, np.ndarray]]] = None,
+    randomize: bool = True,
+    grasp_radius_m: float = 0.06,
+) -> SceneKinematicEnvironment:
+    """Mug + two drawer trays in the mug_in_drawer task AABB.
+
+    The mug spawns on the table between the trays; per-seed randomization
+    moves the mug AND swaps which side holds the mugs drawer, so a policy
+    must identify the correct drawer from the observation.
+    """
+    rng = np.random.default_rng(seed)
+    if randomize:
+        mug_xy = rng.uniform([0.32, -0.18], [0.62, 0.18])
+        mugs_side = 1.0 if rng.uniform() < 0.5 else -1.0
+    else:
+        mug_xy = np.asarray([0.45, 0.0])
+        mugs_side = 1.0
+    objects = {
+        "target_mug": np.asarray([mug_xy[0], mug_xy[1], MUG_HALF[2]]),
+        "bottom_of_drawer_with_mugs": np.asarray(
+            [0.45, mugs_side * 0.5, DRAWER_Z]
+        ),
+        "bottom_of_drawer_with_boxes": np.asarray(
+            [0.45, -mugs_side * 0.5, DRAWER_Z]
+        ),
+    }
+    start = np.concatenate([[0.4, 0.0, 0.3], DOWN_QUAT, [0.0]]).astype(
+        np.float32
+    )
+    if camera_pose_fn is None:
+        # Wider framing than the cube scene: both drawer trays (y = +-0.5)
+        # must be visible so the policy can identify the correct one.
+        wide_pose = look_at_pose7(
+            eye=(0.45, -1.15, 0.8), target=(0.45, 0.0, 0.03)
+        )
+
+        def camera_pose_fn(step: int) -> Dict[str, np.ndarray]:
+            return {"wrist": wide_pose}
+
+    return SceneKinematicEnvironment(
+        ArmEmbodiment(),
+        start,
+        objects=objects,
+        object_half_extents={
+            "target_mug": MUG_HALF,
+            "bottom_of_drawer_with_mugs": DRAWER_HALF,
+            "bottom_of_drawer_with_boxes": DRAWER_HALF,
+        },
+        fixed_objects=[
+            "bottom_of_drawer_with_mugs", "bottom_of_drawer_with_boxes",
+        ],
+        object_colors={
+            "target_mug": np.asarray([0.9, 0.9, 0.92]),
+            # Color encodes drawer identity (the hermetic stand-in for the
+            # reference scene's visually distinct drawer contents).
+            "bottom_of_drawer_with_mugs": np.asarray([0.2, 0.6, 0.25]),
+            "bottom_of_drawer_with_boxes": np.asarray([0.6, 0.3, 0.15]),
+        },
+        table_half_extents=(0.45, 0.85, 0.025),
+        image_size=image_size,
+        camera_pose_fn=camera_pose_fn,
+        grasp_radius_m=grasp_radius_m,
+    )
+
+
+def scripted_mug_goals(
+    objects: Dict[str, np.ndarray], hover_z: float = 0.24,
+    retreat_pos=(0.4, 0.0, 0.3),
+) -> List[np.ndarray]:
+    """Expert: pick the mug, transport it into the mugs drawer, release."""
+    mug = np.asarray(objects["target_mug"][:3], np.float64)
+    drawer = np.asarray(objects["bottom_of_drawer_with_mugs"][:3], np.float64)
+    place = np.asarray(
+        [drawer[0], drawer[1], drawer[2] + DRAWER_HALF[2] + MUG_HALF[2]]
+    )
+    return [
+        _goal([mug[0], mug[1], hover_z], 0.0),        # approach
+        _goal(mug, 0.0),                              # descend
+        _goal(mug, 1.0),                              # grasp
+        _goal([mug[0], mug[1], hover_z], 1.0),        # lift
+        _goal([place[0], place[1], hover_z], 1.0),    # transport
+        _goal(place, 1.0),                            # lower into drawer
+        _goal(place, 0.0),                            # release
+        _goal([place[0], place[1], hover_z], 0.0),    # retreat up
+        _goal(retreat_pos, 0.0),
+    ]
+
+
+def generate_mug_in_drawer_demos(
+    dataset_dir: str,
+    num_demos: int,
+    seed: int = 0,
+    image_size: int = 64,
+    camera_pose_fn_factory: Optional[
+        Callable[[SceneKinematicEnvironment], Callable]
+    ] = None,
+    require_expert_success: bool = True,
+) -> List[str]:
+    """Scripted mug_in_drawer demos, expert-verified by MugInDrawerEvaluator."""
+    from nvblox_mindmap_tpu.closed_loop.evaluators import MugInDrawerEvaluator
+
+    demo_dirs = []
+    for d in range(num_demos):
+        env = make_mug_in_drawer_env(seed + d, image_size=image_size)
+        if camera_pose_fn_factory is not None:
+            env.camera_pose_fn = camera_pose_fn_factory(env)
+        goals = scripted_mug_goals(env.initial_objects)
+        demo_dir = os.path.join(dataset_dir, f"demo_{d:05d}")
+        evaluator = MugInDrawerEvaluator()
+        evaluator.start_demo(f"demo_{d:05d}", env)
+
+        n = record_scripted_demo(demo_dir, env, goals)
+        write_scene_json(demo_dir, env)
+        evaluator.evaluate_step(env)
+        if require_expert_success and not evaluator.current_success:
+            raise AssertionError(
+                f"scripted expert failed mug_in_drawer demo {d} "
+                f"(objects: {env.get_object_poses()})"
+            )
+        assert n > 10, f"demo {d} too short ({n} frames)"
+        demo_dirs.append(demo_dir)
+    return demo_dirs
 
 
 def generate_cube_stacking_demos(

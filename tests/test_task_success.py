@@ -74,6 +74,41 @@ def test_gt_policy_scene_world_task_success(tmp_path):
     assert os.path.exists(eval_path)
 
 
+def test_gt_policy_scene_world_mug_in_drawer_success(tmp_path):
+    """Second task family through the same app surface: the scripted
+    mug_in_drawer expert's demo replays to MugInDrawerEvaluator success
+    (mixed-size objects, fixed drawer trays, drawer-identity randomization;
+    reference: mug_in_drawer_evaluator.py semantics)."""
+    from nvblox_mindmap_tpu.apps.run_closed_loop_policy import main
+    from nvblox_mindmap_tpu.closed_loop.scripted import (
+        generate_mug_in_drawer_demos,
+    )
+
+    generate_mug_in_drawer_demos(str(tmp_path), num_demos=2, seed=7)
+    eval_path = str(tmp_path / "eval.json")
+    summary = main(
+        [
+            "--dataset", str(tmp_path),
+            "--task", "mug_in_drawer",
+            "--demos_closed_loop", "0-1",
+            "--demo_mode", "execute_gt_goals",
+            "--eval_file_path", eval_path,
+        ],
+        environment="scene",
+    )
+    assert summary["num_demos"] == 2
+    assert summary["success_rate"] == 1.0, summary
+    assert os.path.exists(eval_path)
+    # The eval entries carry mug-task extras (proves MugInDrawerEvaluator ran).
+    import json
+
+    with open(eval_path) as f:
+        eval_dict = json.load(f)
+    attempt = next(v for k, v in eval_dict.items() if k != "summary")
+    assert attempt["mug_has_been_lifted"] is True
+    assert attempt["mug_has_been_in_wrong_drawer"] is False
+
+
 @pytest.mark.slow
 def test_trained_policy_closed_loop_task_success(tmp_path):
     """VERDICT r2 #1: a TRAINED diffusion policy earns task-evaluator success
