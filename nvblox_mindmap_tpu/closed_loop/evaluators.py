@@ -342,6 +342,111 @@ class MugInDrawerEvaluator(ArmEvaluatorBase):
             })
 
 
+def object_in_box(object_pos, box_bottom_pos,
+                  box_size_xy=(0.4, 0.3), box_height: float = 0.2) -> bool:
+    """Drill-in-box success geometry (reference:
+    tasks/task_definitions/drill_in_box/config/gr1/mdp/terminations.py:30-74,
+    called with check_hand_height=False by tasks/task_success.py:18-29):
+    object inside the box-bottom-anchored AABB, 1 cm z tolerance below."""
+    obj = np.asarray(object_pos, dtype=np.float64)[:3]
+    box = np.asarray(box_bottom_pos, dtype=np.float64)[:3]
+    half = np.asarray(box_size_xy, dtype=np.float64) / 2.0
+    in_xy = bool(np.all(np.abs(obj[:2] - box[:2]) < half))
+    in_z = bool(box[2] - 1e-2 < obj[2] < box[2] + box_height)
+    return in_xy and in_z
+
+
+def object_in_drum(object_pos, drum_bottom_pos,
+                   drum_radius_m: float = 0.3,
+                   drum_height_m: float = 0.7) -> bool:
+    """Stick-in-bin success geometry (reference:
+    tasks/task_definitions/stick_in_bin/config/gr1/mdp/terminations.py:31-67):
+    object within the drum's radius and height band."""
+    obj = np.asarray(object_pos, dtype=np.float64)[:3]
+    drum = np.asarray(drum_bottom_pos, dtype=np.float64)[:3]
+    in_circle = bool(np.linalg.norm(obj[:2] - drum[:2]) <= drum_radius_m)
+    in_z = bool(drum[2] - 1e-2 < obj[2] < drum[2] + drum_height_m)
+    return in_circle and in_z
+
+
+class _ObjectInContainerEvaluator(EvaluatorBase):
+    """Success = a named object inside a named container, judged from object
+    poses. The reference maps these tasks to BasicEvaluator and relies on the
+    sim's success term (closed_loop_policy.py:43-48); the geometry below IS
+    that term's semantics (tasks/task_success.py), so environments exposing
+    object poses get the same judgment without a sim."""
+
+    OBJECT = ""
+    CONTAINER = ""
+
+    def _predicate(self, object_pos, container_pos) -> bool:
+        raise NotImplementedError
+
+    def _positions(self, env: EnvironmentBase):
+        poses = env.get_object_poses()
+        missing = [n for n in (self.OBJECT, self.CONTAINER) if n not in poses]
+        if missing:
+            raise KeyError(
+                f"{type(self).__name__} needs object poses {missing} from "
+                "the environment (EnvironmentBase.get_object_poses)"
+            )
+        return (np.asarray(poses[self.OBJECT])[:3],
+                np.asarray(poses[self.CONTAINER])[:3])
+
+    def start_demo(self, demo_name: str, env: Optional[EnvironmentBase] = None,
+                   retry_idx: int = 0):
+        super().start_demo(demo_name, env, retry_idx)
+        assert env is not None, "task evaluators need the environment at start"
+        obj, _ = self._positions(env)
+        self.initial_object_position = obj
+        self.object_has_been_lifted = False
+        self.object_has_been_moved = False
+        self.object_has_been_in_container = False
+
+    def evaluate_step(self, env: EnvironmentBase):
+        obj, container = self._positions(env)
+        self.object_has_been_lifted |= bool(
+            obj[2] - self.initial_object_position[2] > 0.05
+        )
+        self.object_has_been_moved |= bool(
+            np.linalg.norm(obj[:2] - self.initial_object_position[:2]) > 0.05
+        )
+        if self._predicate(obj, container):
+            self.object_has_been_in_container = True
+        self._current_success = self.object_has_been_in_container
+
+    def finalize_demo(self, demo_name: str,
+                      env: Optional[EnvironmentBase] = None) -> bool:
+        if env is not None:
+            self.evaluate_step(env)
+        return self._record_attempt(
+            demo_name, self.object_has_been_in_container, {
+                "object_has_been_lifted": bool(self.object_has_been_lifted),
+                "object_has_been_moved": bool(self.object_has_been_moved),
+            })
+
+
+class DrillInBoxEvaluator(_ObjectInContainerEvaluator):
+    """power_drill released inside open_box (reference scene entity names,
+    drill_in_box mdp/terminations.py default SceneEntityCfg args)."""
+
+    OBJECT = "power_drill"
+    CONTAINER = "open_box"
+
+    def _predicate(self, object_pos, container_pos) -> bool:
+        return object_in_box(object_pos, container_pos)
+
+
+class StickInBinEvaluator(_ObjectInContainerEvaluator):
+    """pick_up_object inside open_drum (reference scene entity names)."""
+
+    OBJECT = "pick_up_object"
+    CONTAINER = "open_drum"
+
+    def _predicate(self, object_pos, container_pos) -> bool:
+        return object_in_drum(object_pos, container_pos)
+
+
 def make_evaluator_for_task(task, eval_file_path: Optional[str] = None,
                             env_has_object_state: bool = True,
                             task_params: Optional[Dict] = None
@@ -364,4 +469,11 @@ def make_evaluator_for_task(task, eval_file_path: Optional[str] = None,
         )
     if task == Tasks.MUG_IN_DRAWER:
         return MugInDrawerEvaluator(eval_file_path=eval_file_path)
+    # Reference parity note: the reference maps DRILL_IN_BOX/STICK_IN_BIN to
+    # BasicEvaluator (sim success term). With object poses available we judge
+    # the same geometry framework-side (tasks/task_success.py semantics).
+    if task == Tasks.DRILL_IN_BOX:
+        return DrillInBoxEvaluator(eval_file_path)
+    if task == Tasks.STICK_IN_BIN:
+        return StickInBinEvaluator(eval_file_path)
     return BasicEvaluator(eval_file_path)

@@ -182,13 +182,84 @@ def test_make_evaluator_for_task():
     assert isinstance(
         make_evaluator_for_task(Tasks.MUG_IN_DRAWER), MugInDrawerEvaluator
     )
+    from nvblox_mindmap_tpu.closed_loop.evaluators import (
+        DrillInBoxEvaluator,
+        StickInBinEvaluator,
+    )
+
     assert isinstance(
-        make_evaluator_for_task(Tasks.DRILL_IN_BOX), BasicEvaluator
+        make_evaluator_for_task(Tasks.DRILL_IN_BOX), DrillInBoxEvaluator
+    )
+    assert isinstance(
+        make_evaluator_for_task(Tasks.STICK_IN_BIN), StickInBinEvaluator
     )
     assert isinstance(
         make_evaluator_for_task(Tasks.CUBE_STACKING, env_has_object_state=False),
         BasicEvaluator,
     )
+
+
+def test_object_in_box_geometry():
+    """Pins the reference drill_in_box success AABB (terminations.py:30-74):
+    0.4 x 0.3 footprint around the box bottom, z in (bottom - 1 cm,
+    bottom + 0.2)."""
+    from nvblox_mindmap_tpu.closed_loop.evaluators import object_in_box
+
+    box = [1.0, 2.0, 0.5]
+    assert object_in_box([1.0, 2.0, 0.55], box)
+    assert object_in_box([1.19, 2.14, 0.52], box)  # just inside the corner
+    assert not object_in_box([1.21, 2.0, 0.55], box)  # outside x half 0.2
+    assert not object_in_box([1.0, 2.16, 0.55], box)  # outside y half 0.15
+    assert object_in_box([1.0, 2.0, 0.495], box)  # within 1 cm below
+    assert not object_in_box([1.0, 2.0, 0.485], box)
+    assert not object_in_box([1.0, 2.0, 0.71], box)  # above box height
+
+
+def test_object_in_drum_geometry():
+    """Pins the reference stick_in_bin success cylinder (terminations.py:
+    31-67): radius 0.3, height 0.7, 1 cm tolerance below the drum bottom."""
+    from nvblox_mindmap_tpu.closed_loop.evaluators import object_in_drum
+
+    drum = [0.5, -0.5, 0.0]
+    assert object_in_drum([0.5, -0.5, 0.3], drum)
+    assert object_in_drum([0.5 + 0.29, -0.5, 0.05], drum)
+    assert not object_in_drum([0.5 + 0.31, -0.5, 0.05], drum)
+    # Radius is measured in xy only.
+    assert object_in_drum([0.5 + 0.2, -0.5 - 0.2, 0.65], drum)
+    assert not object_in_drum([0.5, -0.5, 0.71], drum)
+    assert not object_in_drum([0.5, -0.5, -0.02], drum)
+
+
+def test_drill_in_box_evaluator_flow():
+    """The container evaluator tracks lift/move and flips success only once
+    the object is inside the box (judged from object poses, mirroring the
+    sim success term the reference reads through BasicEvaluator)."""
+    from nvblox_mindmap_tpu.closed_loop.evaluators import DrillInBoxEvaluator
+
+    emb = ArmEmbodiment()
+    env = KinematicEnvironment(
+        emb, arm_state([0.3, 0.0, 0.3]),
+        waypoints=[], max_step_m=0.1,
+        objects={
+            "power_drill": np.asarray([0.45, 0.0, 0.03]),
+            "open_box": np.asarray([0.45, 0.4, 0.02]),
+        },
+        fixed_objects=["open_box"],
+        grasp_radius_m=0.05,
+    )
+    ev = DrillInBoxEvaluator()
+    ev.start_demo("d", env)
+    drive(env, ev, arm_state([0.45, 0.0, 0.03]))
+    drive(env, ev, arm_state([0.45, 0.0, 0.03], closed=1.0))  # grasp
+    drive(env, ev, arm_state([0.45, 0.0, 0.25], closed=1.0))  # lift
+    assert not ev.current_success
+    drive(env, ev, arm_state([0.45, 0.4, 0.1], closed=1.0))   # into the box
+    drive(env, ev, arm_state([0.45, 0.4, 0.1], closed=0.0))   # release
+    assert ev.current_success
+    assert ev.finalize_demo("d", env)
+    extras = ev.eval_dict["d_0"]
+    assert extras["object_has_been_lifted"] is True
+    assert extras["object_has_been_moved"] is True
 
 
 def test_runner_integration_with_task_evaluator(tmp_path):
