@@ -197,6 +197,7 @@ class KinematicEnvironment(EnvironmentBase):
         objects: Optional[Dict[str, np.ndarray]] = None,
         grasp_radius_m: float = 0.05,
         fixed_objects: Optional[List[str]] = None,
+        max_head_yaw_step_rad: float = 0.1,
     ):
         self.embodiment = embodiment
         self.initial_state = np.array(initial_state, dtype=np.float32)
@@ -205,6 +206,7 @@ class KinematicEnvironment(EnvironmentBase):
         self.tol = waypoint_tolerance_m
         self.image_size = image_size
         self.grasp_radius_m = grasp_radius_m
+        self.max_head_yaw_step_rad = float(max_head_yaw_step_rad)
         # Named objects with simple grasp kinematics: a closed gripper within
         # grasp_radius attaches the nearest object to the eef; opening
         # releases it in place. Enough state for the task evaluators
@@ -234,7 +236,11 @@ class KinematicEnvironment(EnvironmentBase):
         self.visited = [False] * len(self.waypoints)
         self.steps = 0
         self.objects = {k: v.copy() for k, v in self.initial_objects.items()}
-        self._held: Optional[str] = None
+        # Held objects per gripper slot: {slot_index: object_name}. The arm
+        # has one slot (eef state[:3] / closedness [7]); the humanoid has two
+        # (left [0:3]/[7], right [8:11]/[15]) so either hand can grasp - the
+        # reference's Right-handed GR1 tasks do the work with hand two.
+        self._held: Dict[int, str] = {}
 
     def _move_pose(self, pose_slice, goal_pose):
         pos = self.state[pose_slice][:3]
@@ -262,31 +268,49 @@ class KinematicEnvironment(EnvironmentBase):
             self.state[7] = goal[7]
             self._move_pose(slice(8, 15), goal[8:15])
             self.state[15] = goal[15]
-            self.state[16] += np.clip(goal[16] - self.state[16], -0.1, 0.1)
+            # Asymptotic head servo (rate-limited proportional control): the
+            # yaw approaches the set-point geometrically and never produces
+            # an exactly-flat plateau at a direction reversal - real head
+            # recordings don't either, and the humanoid head-turn detector
+            # (embodiments/humanoid.py get_head_turn_events) keys on a
+            # strict sign change of consecutive yaw diffs.
+            self.state[16] += np.clip(
+                0.8 * (goal[16] - self.state[16]),
+                -self.max_head_yaw_step_rad,
+                self.max_head_yaw_step_rad,
+            )
         # Track waypoint visits (position of the (first) eef).
         for i, w in enumerate(self.waypoints):
             if not self.visited[i] and np.linalg.norm(self.state[:3] - w) < self.tol:
                 self.visited[i] = True
         self._update_grasp()
 
+    def _gripper_slots(self) -> List[tuple]:
+        """(position slice, closedness index) per gripper in the policy state."""
+        if self.embodiment.embodiment_type == EmbodimentType.ARM:
+            return [(slice(0, 3), 7)]
+        return [(slice(0, 3), 7), (slice(8, 11), 15)]
+
     def _update_grasp(self) -> None:
-        eef = self.state[:3]
-        closed = float(self.state[7]) >= 0.5
-        graspable = [
-            (n, p) for n, p in self.objects.items()
-            if n not in self.fixed_objects
-        ]
-        if closed and self._held is None and graspable:
-            name, dist = min(
-                ((n, np.linalg.norm(p[:3] - eef)) for n, p in graspable),
-                key=lambda kv: kv[1],
-            )
-            if dist < self.grasp_radius_m:
-                self._held = name
-        elif not closed:
-            self._held = None
-        if self._held is not None:
-            self.objects[self._held][:3] = eef
+        for slot, (pos_slice, closed_idx) in enumerate(self._gripper_slots()):
+            eef = self.state[pos_slice]
+            closed = float(self.state[closed_idx]) >= 0.5
+            taken = set(self._held.values())
+            graspable = [
+                (n, p) for n, p in self.objects.items()
+                if n not in self.fixed_objects and n not in taken
+            ]
+            if closed and slot not in self._held and graspable:
+                name, dist = min(
+                    ((n, np.linalg.norm(p[:3] - eef)) for n, p in graspable),
+                    key=lambda kv: kv[1],
+                )
+                if dist < self.grasp_radius_m:
+                    self._held[slot] = name
+            elif not closed:
+                self._held.pop(slot, None)
+            if slot in self._held:
+                self.objects[self._held[slot]][:3] = eef
 
     def get_object_poses(self) -> Dict[str, np.ndarray]:
         return {k: v.copy() for k, v in self.objects.items()}

@@ -197,6 +197,12 @@ class SceneKinematicEnvironment(KinematicEnvironment):
         grasp_radius_m: float = 0.06,
         fixed_objects: Optional[List[str]] = None,
         object_colors: Optional[Dict[str, np.ndarray]] = None,
+        robot_class_name: Optional[str] = None,
+        head_position: Optional[np.ndarray] = None,
+        head_base_yaw: float = 0.0,
+        head_look_distance_m: float = 0.7,
+        head_look_z_m: Optional[float] = None,
+        max_head_yaw_step_rad: float = 0.1,
     ):
         super().__init__(
             embodiment,
@@ -207,6 +213,7 @@ class SceneKinematicEnvironment(KinematicEnvironment):
             objects=objects,
             grasp_radius_m=grasp_radius_m,
             fixed_objects=fixed_objects,
+            max_head_yaw_step_rad=max_head_yaw_step_rad,
         )
         # Uniform scalar half extent (cube tasks) or a per-object map of
         # (3,) half extents (mug + drawer-bottom scenes have mixed sizes).
@@ -246,27 +253,88 @@ class SceneKinematicEnvironment(KinematicEnvironment):
             name: SEM_OBJECT_BASE + i
             for i, name in enumerate(sorted(self.initial_objects))
         }
-        if camera_pose_fn is None:
-            table_pose = look_at_pose7(
-                eye=(0.5, -0.85, 0.55),
-                target=(0.5, 0.0, 0.05),
-            )
+        from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
 
-            # Physically a table-mounted view, but recorded under the arm
-            # dataset contract's 'wrist' item names (embodiments/arm.py
-            # WRIST_ITEMS) so replay/datagen/training consume it unchanged.
-            def camera_pose_fn(step: int) -> Dict[str, np.ndarray]:
-                return {"wrist": table_pose}
+        self._is_humanoid = (
+            embodiment.embodiment_type == EmbodimentType.HUMANOID
+        )
+        # The dynamic semantic class name the task's mapping config masks out
+        # (mapping/constants.py dynamic_class_labels: arm tasks use
+        # 'robot_arm', GR1 tasks use 'robot').
+        self.robot_class_name = robot_class_name or (
+            "robot" if self._is_humanoid else "robot_arm"
+        )
+        # Humanoid head rig: the pov camera sits at head_position and its
+        # view direction follows the policy state's head yaw (state[16],
+        # rotation about world z from head_base_yaw). This is what couples
+        # head-turn keyposes to what the policy actually observes, mirroring
+        # the GR1's head-mounted camera (reference humanoid observation.py).
+        table_c = np.asarray(table_center, dtype=np.float64)
+        if head_position is None:
+            head_position = table_c + np.asarray([0.0, -0.75, 0.65])
+        self.head_position = np.asarray(head_position, dtype=np.float64)
+        self.head_base_yaw = float(head_base_yaw)
+        self.head_look_distance_m = float(head_look_distance_m)
+        # Default gaze height: just above the table top.
+        self.head_look_z_m = float(
+            head_look_z_m
+            if head_look_z_m is not None
+            else table_c[2] + np.asarray(table_half_extents)[2] + 0.03
+        )
+        if camera_pose_fn is None:
+            if self._is_humanoid:
+                external_pose = look_at_pose7(
+                    eye=table_c + np.asarray([0.0, -1.1, 0.9]),
+                    target=table_c + np.asarray([0.0, 0.0, 0.1]),
+                )
+
+                def camera_pose_fn(step: int) -> Dict[str, np.ndarray]:
+                    return {
+                        "pov": self._pov_pose_from_head_yaw(),
+                        "external": external_pose,
+                    }
+
+            else:
+                table_pose = look_at_pose7(
+                    eye=(0.5, -0.85, 0.55),
+                    target=(0.5, 0.0, 0.05),
+                )
+
+                # Physically a table-mounted view, but recorded under the arm
+                # dataset contract's 'wrist' item names (embodiments/arm.py
+                # WRIST_ITEMS) so replay/datagen/training consume it unchanged.
+                def camera_pose_fn(step: int) -> Dict[str, np.ndarray]:
+                    return {"wrist": table_pose}
 
         self.camera_pose_fn = camera_pose_fn
         self.focal_px = float(focal_px if focal_px is not None else image_size)
+
+    def _pov_pose_from_head_yaw(self) -> np.ndarray:
+        """Head camera pose from the current head yaw (humanoid only).
+
+        The camera sits at ``head_position`` and looks at the tabletop point
+        ``head_look_distance_m`` away in the yaw direction: yaw 0 looks along
+        +y (toward the table from the default head placement); positive yaw
+        turns left (counter-clockwise about world +z).
+        """
+        yaw = self.head_base_yaw + (
+            float(self.state[16]) if self._is_humanoid else 0.0
+        )
+        target = np.asarray(
+            [
+                self.head_position[0] - np.sin(yaw) * self.head_look_distance_m,
+                self.head_position[1] + np.cos(yaw) * self.head_look_distance_m,
+                self.head_look_z_m,
+            ]
+        )
+        return look_at_pose7(eye=self.head_position, target=target)
 
     @property
     def semantic_id_to_class(self) -> Dict[int, str]:
         ids = {
             SEM_BACKGROUND: "background",
             SEM_TABLE: "table",
-            SEM_ROBOT: "robot_arm",
+            SEM_ROBOT: self.robot_class_name,
         }
         ids.update({v: k for k, v in self._object_ids.items()})
         return ids
@@ -291,14 +359,15 @@ class SceneKinematicEnvironment(KinematicEnvironment):
         return top
 
     def _update_grasp(self) -> None:
-        held_before = self._held
+        held_before = dict(self._held)
         super()._update_grasp()
-        if held_before is not None and self._held is None:
-            # Released: drop onto the highest support below.
-            self.objects[held_before][2] = (
-                self._support_top_below(held_before)
-                + self.object_half_map[held_before][2]
-            )
+        for slot, name in held_before.items():
+            if self._held.get(slot) != name:
+                # Released: drop onto the highest support below.
+                self.objects[name][2] = (
+                    self._support_top_below(name)
+                    + self.object_half_map[name][2]
+                )
 
     # --- rendering ------------------------------------------------------------
     def _scene_boxes(self) -> List[Box]:
@@ -316,16 +385,17 @@ class SceneKinematicEnvironment(KinematicEnvironment):
                 )
             )
         if self.render_robot_marker:
-            eef = self.state[:3].astype(np.float64)
-            boxes.append(
-                Box(
-                    "robot_arm",
-                    eef + np.asarray([0.0, 0.0, 0.035]),
-                    np.asarray([0.015, 0.015, 0.035]),
-                    color=np.asarray([0.75, 0.75, 0.78]),
-                    semantic_id=SEM_ROBOT,
+            for pos_slice, _ in self._gripper_slots():
+                eef = self.state[pos_slice].astype(np.float64)
+                boxes.append(
+                    Box(
+                        self.robot_class_name,
+                        eef + np.asarray([0.0, 0.0, 0.035]),
+                        np.asarray([0.015, 0.015, 0.035]),
+                        color=np.asarray([0.75, 0.75, 0.78]),
+                        semantic_id=SEM_ROBOT,
+                    )
                 )
-            )
         return boxes
 
     def get_cameras(self) -> Dict[str, CameraFrame]:

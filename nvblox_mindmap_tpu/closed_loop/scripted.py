@@ -36,6 +36,14 @@ JAW_OPEN = 0.04
 JAW_CLOSED = 0.01
 JAW_SPEED = 0.0075
 
+# Humanoid hand proximal-joint positions for the 37-dim robot state: the ramp
+# crosses the hysteresis thresholds (embodiments/humanoid.py CLOSED/-0.4,
+# OPEN/-0.2) and its 0.1 rad/frame speed clears the velocity-backtracking
+# threshold (0.01), so grasp intervals resolve exactly like real GR1 jaws.
+HAND_JOINT_OPEN = 0.0
+HAND_JOINT_CLOSED = -0.7
+HAND_JOINT_SPEED = 0.1
+
 DOWN_QUAT = np.asarray([0.0, 1.0, 0.0, 0.0], dtype=np.float32)  # eef pointing down
 
 
@@ -126,6 +134,81 @@ class ArmDemoRecorder:
         self.t += 1
 
 
+class HumanoidDemoRecorder:
+    """Streams humanoid SceneKinematicEnvironment frames into the demo layout.
+
+    Writes per frame: pov/external {rgb,depth,semantic}.png + {pose,
+    intrinsics}.npy + robot_state.npy (37-dim: L pose7 + 11 hand joints,
+    R likewise, head yaw). Hand proximal joints ramp toward the commanded
+    closedness at HAND_JOINT_SPEED, so the hysteresis closedness and
+    velocity-backtracked grasp intervals of the humanoid keypose estimator
+    (embodiments/humanoid.py, reference humanoid/keypose_estimation.py)
+    see the same signal shape as real GR1 hand recordings.
+    """
+
+    def __init__(self, demo_dir: str, env: SceneKinematicEnvironment):
+        self.writer = DemoWriter(demo_dir)
+        self.env = env
+        self.t = 0
+        self._joint = [HAND_JOINT_OPEN, HAND_JOINT_OPEN]  # left, right
+        self.writer.write_semantic_labels(env.semantic_id_to_class)
+
+    def _target(self, hand: int) -> float:
+        closed_idx = 7 if hand == 0 else 15
+        return (
+            HAND_JOINT_CLOSED
+            if float(self.env.state[closed_idx]) >= 0.5
+            else HAND_JOINT_OPEN
+        )
+
+    @property
+    def jaws_settled(self) -> bool:
+        return all(
+            abs(self._joint[h] - self._target(h)) < 1e-6 for h in (0, 1)
+        )
+
+    def record_frame(self) -> None:
+        from nvblox_mindmap_tpu.embodiments.humanoid import (
+            NUM_HAND_JOINTS,
+            PROXIMAL_JOINT_INDICES,
+        )
+
+        hands = []
+        for h in (0, 1):
+            self._joint[h] += float(
+                np.clip(
+                    self._target(h) - self._joint[h],
+                    -HAND_JOINT_SPEED,
+                    HAND_JOINT_SPEED,
+                )
+            )
+            joints = np.zeros(NUM_HAND_JOINTS, dtype=np.float32)
+            joints[PROXIMAL_JOINT_INDICES] = self._joint[h]
+            hands.append(joints)
+        state37 = np.concatenate(
+            [
+                self.env.state[0:7], hands[0],
+                self.env.state[8:15], hands[1],
+                self.env.state[16:17],
+            ]
+        ).astype(np.float32)
+        self.writer.write_robot_state(self.t, state37)
+        for name, frame in self.env.get_cameras().items():
+            self.writer.write_camera_frame(
+                self.t, name, frame.rgb, frame.depth, frame.pose7,
+                frame.intrinsics,
+            )
+            if frame.segmentation is not None:
+                self.writer.write_semantic(self.t, name, frame.segmentation)
+        self.t += 1
+
+
+def make_recorder(demo_dir: str, env: SceneKinematicEnvironment):
+    if isinstance(env.embodiment, ArmEmbodiment):
+        return ArmDemoRecorder(demo_dir, env)
+    return HumanoidDemoRecorder(demo_dir, env)
+
+
 def record_scripted_demo(
     demo_dir: str,
     env: SceneKinematicEnvironment,
@@ -140,9 +223,8 @@ def record_scripted_demo(
     with an evaluator on the same env before recording).
     """
     embodiment = env.embodiment
-    assert isinstance(embodiment, ArmEmbodiment), "arm-only recorder"
     env.reset()
-    rec = ArmDemoRecorder(demo_dir, env)
+    rec = make_recorder(demo_dir, env)
     rec.record_frame()  # initial observation
     for goal in goals:
         for _ in range(max_steps_per_goal):
@@ -182,6 +264,17 @@ def write_scene_json(demo_dir: str, env: SceneKinematicEnvironment) -> None:
         "image_size": env.image_size,
         "grasp_radius_m": env.grasp_radius_m,
         "initial_state": [float(x) for x in env.initial_state],
+        "embodiment": (
+            "humanoid" if env._is_humanoid else "arm"
+        ),
+        "table_center": [float(x) for x in env.table.center],
+        "table_half_extents": [float(x) for x in env.table.half_extents],
+        "robot_class_name": env.robot_class_name,
+        "head_position": [float(x) for x in env.head_position],
+        "head_base_yaw": env.head_base_yaw,
+        "head_look_distance_m": env.head_look_distance_m,
+        "head_look_z_m": env.head_look_z_m,
+        "max_head_yaw_step_rad": env.max_head_yaw_step_rad,
     }
     with open(os.path.join(demo_dir, "scene.json"), "w") as f:
         json.dump(spec, f, indent=2)
@@ -199,8 +292,24 @@ def env_from_scene_json(demo_dir: str) -> Optional[SceneKinematicEnvironment]:
     half = spec["object_half_extents"]
     if isinstance(half, dict):
         half = {k: np.asarray(v) for k, v in half.items()}
+    if spec.get("embodiment", "arm") == "humanoid":
+        from nvblox_mindmap_tpu.embodiments.humanoid import HumanoidEmbodiment
+
+        embodiment = HumanoidEmbodiment()
+    else:
+        embodiment = ArmEmbodiment()
+    # Older scene.json files predate the table/head-rig keys; fall back to
+    # the ctor defaults they were recorded with.
+    extra = {}
+    for key in (
+        "table_center", "table_half_extents", "robot_class_name",
+        "head_position", "head_base_yaw", "head_look_distance_m",
+        "head_look_z_m", "max_head_yaw_step_rad",
+    ):
+        if key in spec:
+            extra[key] = spec[key]
     return SceneKinematicEnvironment(
-        ArmEmbodiment(),
+        embodiment,
         np.asarray(spec["initial_state"], np.float32),
         objects={k: np.asarray(v) for k, v in spec["objects"].items()},
         object_half_extents=half,
@@ -211,6 +320,7 @@ def env_from_scene_json(demo_dir: str) -> Optional[SceneKinematicEnvironment]:
             k: np.asarray(v)
             for k, v in spec.get("object_colors", {}).items()
         },
+        **extra,
     )
 
 
@@ -446,3 +556,290 @@ def generate_cube_stacking_demos(
         assert n > 10, f"demo {d} too short ({n} frames)"
         demo_dirs.append(demo_dir)
     return demo_dirs
+
+
+# --- GR1 humanoid tasks: drill_in_box / stick_in_bin -------------------------
+# Hermetic stand-ins for the reference's two GR1T2-Right tasks (reference:
+# tasks/task_definitions/{drill_in_box,stick_in_bin}; gym ids
+# Isaac-*-GR1T2-Right-v0 per embodiments/registry.py). The scenes live inside
+# each task's mapping AABB (mapping/constants.py) so fusion sees them; the
+# right hand does the manipulation and the head camera (pov) follows the
+# scripted head-yaw schedule, producing real head-turn keypose events
+# (embodiments/humanoid.py get_head_turn_events).
+
+# Scripted head-yaw waypoints (rad). The expert overshoots past the object
+# gaze then settles back, placing the single yaw-direction REVERSAL before
+# any grasp keyposes - that reversal, >45 deg away from the previous keypose
+# (demo frame 0 at YAW_CONTAINER), is what the head-turn detector keys on.
+YAW_OBJECT = 0.5
+YAW_CONTAINER = -0.5
+YAW_OVERSHOOT = 0.4
+
+DRILL_HALF = np.asarray([0.035, 0.02, 0.035])
+DRILL_TRAY_HALF = np.asarray([0.2, 0.15, 0.01])  # open_box footprint 0.4 x 0.3
+STICK_HALF = np.asarray([0.02, 0.02, 0.09])
+DRUM_TRAY_HALF = np.asarray([0.2, 0.2, 0.01])  # inside the 0.3 success radius
+
+
+def _hgoal(l_pos, l_closed, r_pos, r_closed, head_yaw) -> np.ndarray:
+    """17-dim humanoid policy-state goal (both hands pointing down)."""
+    return np.concatenate(
+        [
+            np.asarray(l_pos, np.float32), DOWN_QUAT, [np.float32(l_closed)],
+            np.asarray(r_pos, np.float32), DOWN_QUAT, [np.float32(r_closed)],
+            [np.float32(head_yaw)],
+        ]
+    )
+
+
+def _gaze_target_xy(head_xy, yaw: float, distance: float) -> np.ndarray:
+    return np.asarray(
+        [
+            head_xy[0] - np.sin(yaw) * distance,
+            head_xy[1] + np.cos(yaw) * distance,
+        ]
+    )
+
+
+def scripted_humanoid_pick_place_goals(
+    obj_pos,
+    place_pos,
+    staging_r,
+    rest_l,
+    hover_dz: float = 0.2,
+    yaw_object: float = YAW_OBJECT,
+    yaw_container: float = YAW_CONTAINER,
+) -> List[np.ndarray]:
+    """Right-handed pick-and-place with a head-yaw schedule.
+
+    Phases: head sweep (overshoot + settle) -> approach/descend/grasp at the
+    object gaze -> lift -> head turn to the container -> transport/lower/
+    release -> retreat with the head returning to neutral. The left hand
+    stays parked at ``rest_l`` (the reference GR1 tasks are right-handed).
+    """
+    obj = np.asarray(obj_pos, np.float64)
+    place = np.asarray(place_pos, np.float64)
+    hover_obj = [obj[0], obj[1], obj[2] + hover_dz]
+    hover_place = [place[0], place[1], place[2] + hover_dz]
+    g = lambda r_pos, r_closed, yaw: _hgoal(rest_l, 0.0, r_pos, r_closed, yaw)
+    return [
+        g(staging_r, 0.0, yaw_object + YAW_OVERSHOOT),  # head sweep overshoot
+        g(staging_r, 0.0, yaw_object),                  # settle on the object
+        g(hover_obj, 0.0, yaw_object),                  # approach
+        g(obj, 0.0, yaw_object),                        # descend
+        g(obj, 1.0, yaw_object),                        # grasp
+        g(hover_obj, 1.0, yaw_object),                  # lift
+        g(hover_obj, 1.0, yaw_container),               # look at the container
+        g(hover_place, 1.0, yaw_container),             # transport
+        g(place, 1.0, yaw_container),                   # lower
+        g(place, 0.0, yaw_container),                   # release
+        g(hover_place, 0.0, yaw_container),             # retreat up
+        g(staging_r, 0.0, 0.0),                         # retreat, head neutral
+    ]
+
+
+def _make_humanoid_pick_place_env(
+    seed: int,
+    *,
+    table_center,
+    table_half,
+    head_position,
+    object_name: str,
+    object_half,
+    object_color,
+    container_name: str,
+    container_center,
+    container_half,
+    container_color,
+    obj_region_lo,
+    obj_region_hi,
+    image_size: int,
+    randomize: bool,
+) -> SceneKinematicEnvironment:
+    from nvblox_mindmap_tpu.embodiments.humanoid import HumanoidEmbodiment
+
+    rng = np.random.default_rng(seed)
+    if randomize:
+        obj_xy = rng.uniform(obj_region_lo, obj_region_hi)
+    else:
+        obj_xy = (np.asarray(obj_region_lo) + np.asarray(obj_region_hi)) / 2.0
+    table_top = float(table_center[2]) + float(table_half[2])
+    obj_pos = np.asarray([obj_xy[0], obj_xy[1], table_top + object_half[2]])
+    container = np.asarray(container_center, np.float64)
+
+    # Right hand stages near the container side; left hand parks mirrored.
+    staging_r = np.asarray(
+        [container[0] - 0.02, head_position[1] + 0.25, table_top + 0.30]
+    )
+    rest_l = np.asarray(
+        [2.0 * table_center[0] - container[0] - 0.3,
+         head_position[1] + 0.25, table_top + 0.30]
+    )
+    initial = _hgoal(rest_l, 0.0, staging_r, 0.0, YAW_CONTAINER)
+    return SceneKinematicEnvironment(
+        HumanoidEmbodiment(),
+        initial,
+        objects={object_name: obj_pos, container_name: container},
+        object_half_extents={
+            object_name: object_half,
+            container_name: container_half,
+        },
+        fixed_objects=[container_name],
+        object_colors={
+            object_name: object_color,
+            container_name: container_color,
+        },
+        table_center=table_center,
+        table_half_extents=table_half,
+        head_position=head_position,
+        max_head_yaw_step_rad=0.2,
+        image_size=image_size,
+        grasp_radius_m=0.06,
+    )
+
+
+def make_drill_in_box_env(
+    seed: int, image_size: int = 64, randomize: bool = True
+) -> SceneKinematicEnvironment:
+    """power_drill + open_box tray inside the drill_in_box AABB
+    (mapping/constants.py x[-0.37, 0.95], y[-0.75, 0.75])."""
+    head = np.asarray([0.3, -0.75, 0.65])
+    # Object spawns around the yaw=+0.5 gaze point; the box sits at the
+    # yaw=-0.5 gaze point so each is centered in view at its phase.
+    obj_c = _gaze_target_xy(head[:2], YAW_OBJECT, 0.7)
+    box_c = _gaze_target_xy(head[:2], YAW_CONTAINER, 0.7)
+    return _make_humanoid_pick_place_env(
+        seed,
+        table_center=(0.3, 0.0, -0.025),
+        table_half=(0.6, 0.7, 0.025),
+        head_position=head,
+        object_name="power_drill",
+        object_half=DRILL_HALF,
+        object_color=np.asarray([0.85, 0.75, 0.1]),
+        container_name="open_box",
+        container_center=[box_c[0], box_c[1], 0.02],
+        container_half=DRILL_TRAY_HALF,
+        container_color=np.asarray([0.55, 0.35, 0.2]),
+        obj_region_lo=obj_c - 0.1,
+        obj_region_hi=obj_c + 0.1,
+        image_size=image_size,
+        randomize=randomize,
+    )
+
+
+def make_stick_in_bin_env(
+    seed: int, image_size: int = 64, randomize: bool = True
+) -> SceneKinematicEnvironment:
+    """pick_up_object (stick) + open_drum tray inside the stick_in_bin AABB
+    (mapping/constants.py x[3.7, 5.5], y[1.5, 3.2], z[0.44, 1.25])."""
+    head = np.asarray([4.6, 1.6, 1.15])
+    obj_c = _gaze_target_xy(head[:2], YAW_OBJECT, 0.7)
+    drum_c = _gaze_target_xy(head[:2], YAW_CONTAINER, 0.7)
+    return _make_humanoid_pick_place_env(
+        seed,
+        table_center=(4.6, 2.35, 0.475),
+        table_half=(0.75, 0.7, 0.025),
+        head_position=head,
+        object_name="pick_up_object",
+        object_half=STICK_HALF,
+        object_color=np.asarray([0.2, 0.75, 0.8]),
+        container_name="open_drum",
+        container_center=[drum_c[0], drum_c[1], 0.52],
+        container_half=DRUM_TRAY_HALF,
+        container_color=np.asarray([0.35, 0.35, 0.6]),
+        obj_region_lo=obj_c - 0.1,
+        obj_region_hi=obj_c + 0.1,
+        image_size=image_size,
+        randomize=randomize,
+    )
+
+
+def _generate_humanoid_demos(
+    dataset_dir: str,
+    num_demos: int,
+    seed: int,
+    image_size: int,
+    make_env,
+    object_name: str,
+    container_name: str,
+    make_evaluator,
+    camera_pose_fn_factory=None,
+    require_expert_success: bool = True,
+) -> List[str]:
+    from nvblox_mindmap_tpu.data.dataset import DemoDataset
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+
+    demo_dirs = []
+    for d in range(num_demos):
+        env = make_env(seed + d, image_size=image_size)
+        if camera_pose_fn_factory is not None:
+            env.camera_pose_fn = camera_pose_fn_factory(env)
+        obj = env.initial_objects[object_name][:3]
+        container = env.initial_objects[container_name][:3]
+        place = np.asarray(
+            [
+                container[0],
+                container[1],
+                container[2]
+                + env.object_half_map[container_name][2]
+                + env.object_half_map[object_name][2],
+            ]
+        )
+        staging_r = env.initial_state[8:11]
+        rest_l = env.initial_state[0:3]
+        goals = scripted_humanoid_pick_place_goals(
+            obj, place, staging_r, rest_l
+        )
+        demo_dir = os.path.join(dataset_dir, f"demo_{d:05d}")
+        evaluator = make_evaluator()
+        evaluator.start_demo(f"demo_{d:05d}", env)
+        n = record_scripted_demo(demo_dir, env, goals)
+        write_scene_json(demo_dir, env)
+        evaluator.evaluate_step(env)
+        if require_expert_success and not evaluator.current_success:
+            raise AssertionError(
+                f"scripted expert failed {object_name} demo {d} "
+                f"(objects: {env.get_object_poses()})"
+            )
+        # The head-yaw schedule must yield a detectable head-turn event -
+        # the GR1 tasks' keypose mode depends on it (registry.py
+        # HIGHEST_Z_OF_VERTICAL_MOTION_AND_HEAD_TURN).
+        states = DemoDataset.load_robot_states(demo_dir)
+        base = env.embodiment.extract_keypose_indices(
+            states, [5, 15], KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION
+        )
+        turns = env.embodiment.get_head_turn_events(
+            states[:, 36], base.tolist()
+        )
+        assert turns, f"expert produced no head-turn keypose in demo {d}"
+        assert n > 10, f"demo {d} too short ({n} frames)"
+        demo_dirs.append(demo_dir)
+    return demo_dirs
+
+
+def generate_drill_in_box_demos(
+    dataset_dir: str, num_demos: int, seed: int = 0, image_size: int = 64,
+    camera_pose_fn_factory=None, require_expert_success: bool = True,
+) -> List[str]:
+    """Scripted drill_in_box demos, expert-verified by DrillInBoxEvaluator."""
+    from nvblox_mindmap_tpu.closed_loop.evaluators import DrillInBoxEvaluator
+
+    return _generate_humanoid_demos(
+        dataset_dir, num_demos, seed, image_size, make_drill_in_box_env,
+        "power_drill", "open_box", DrillInBoxEvaluator,
+        camera_pose_fn_factory, require_expert_success,
+    )
+
+
+def generate_stick_in_bin_demos(
+    dataset_dir: str, num_demos: int, seed: int = 0, image_size: int = 64,
+    camera_pose_fn_factory=None, require_expert_success: bool = True,
+) -> List[str]:
+    """Scripted stick_in_bin demos, expert-verified by StickInBinEvaluator."""
+    from nvblox_mindmap_tpu.closed_loop.evaluators import StickInBinEvaluator
+
+    return _generate_humanoid_demos(
+        dataset_dir, num_demos, seed, image_size, make_stick_in_bin_env,
+        "pick_up_object", "open_drum", StickInBinEvaluator,
+        camera_pose_fn_factory, require_expert_success,
+    )
