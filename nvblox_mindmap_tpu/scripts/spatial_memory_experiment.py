@@ -172,6 +172,7 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
     from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
     from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
     from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
     from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
     from nvblox_mindmap_tpu.mapping.constants import get_workspace_bounds
     from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActor
@@ -223,6 +224,11 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
             num_history=3,
             prediction_horizon=1,
             num_vertices_to_sample=512,
+            # MUST match the training app default (utils/config.py):
+            # the model was trained on randomly subsampled vertex sets.
+            vertex_sampling_method=(
+                VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT
+            ),
             seed=0,
         )
         for i, batch in enumerate(loader):
