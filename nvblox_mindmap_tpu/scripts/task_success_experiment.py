@@ -2,12 +2,13 @@
 
 The full capability chain the reference runs across three apps (reference:
 run_isaaclab_datagen.py -> run_training.py -> closed_loop_policy.py:242-317),
-executed hermetically: scripted expert demos in the box-world scene ->
-datagen fusion -> run_training app -> NvbloxDiffuserActorPolicy with live
-mapping -> CubeStackingEvaluator judging success from object state.
+executed hermetically for ANY of the four tasks: scripted expert demos in
+the scene world -> datagen fusion -> run_training app ->
+NvbloxDiffuserActorPolicy with live mapping -> the task's object-state
+evaluator judging success.
 
 Stages are resumable (artifacts persist under --out):
-    gen        record + fuse N scripted cube-stacking demos
+    gen        record + fuse N scripted demos for --task
     train      train the diffusion policy with the production task defaults
     openloop   per-keypose open-loop error against the TRAINING keypose set
     closedloop closed-loop rollout + task-evaluator summary (JSON to stdout
@@ -24,7 +25,8 @@ Training notes (measured on this chain):
     the closed-loop policy stacks but never lets go.
 
 Run: python -m nvblox_mindmap_tpu.scripts.task_success_experiment all
-     [--out /tmp/task_success] [--num_demos 8] [--train_iters 4000]
+     [--task cube_stacking] [--out /tmp/task_success] [--num_demos 8]
+     [--train_iters 4000]
 """
 from __future__ import annotations
 
@@ -42,50 +44,88 @@ N_VERTICES = 512
 EMB = 48
 TIMESTEPS = 100
 FPS_SUBSAMPLING = 4
+DEFAULT_TASK = "cube_stacking"
 
 
-def gen_and_fuse(out: str, num_demos: int, seed: int) -> List[str]:
+def _generator_for_task(task: str):
+    from nvblox_mindmap_tpu.closed_loop import scripted
+
+    return {
+        "cube_stacking": lambda ds, n, seed: scripted.generate_cube_stacking_demos(
+            ds, num_demos=n, seed=seed, cube_half=CUBE_HALF
+        ),
+        "mug_in_drawer": lambda ds, n, seed: scripted.generate_mug_in_drawer_demos(
+            ds, num_demos=n, seed=seed
+        ),
+        "drill_in_box": lambda ds, n, seed: scripted.generate_drill_in_box_demos(
+            ds, num_demos=n, seed=seed
+        ),
+        "stick_in_bin": lambda ds, n, seed: scripted.generate_stick_in_bin_demos(
+            ds, num_demos=n, seed=seed
+        ),
+    }[task]
+
+
+def _embodiment_for_task(task: str):
+    from nvblox_mindmap_tpu.embodiments.registry import (
+        Tasks,
+        make_embodiment_for_task,
+    )
+
+    return make_embodiment_for_task(Tasks(task))
+
+
+def _evaluator_for_task(task: str):
+    from nvblox_mindmap_tpu.closed_loop.evaluators import (
+        make_evaluator_for_task,
+    )
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+
+    task_params = None
+    if task == "cube_stacking":
+        task_params = {"num_cubes": 2, "cube_side_length": 2 * CUBE_HALF}
+    return make_evaluator_for_task(Tasks(task), task_params=task_params)
+
+
+def gen_and_fuse(out: str, num_demos: int, seed: int,
+                 task: str = DEFAULT_TASK) -> List[str]:
     from nvblox_mindmap_tpu.apps.run_datagen import (
         make_mapping_feature_fn,
         process_demo,
     )
-    from nvblox_mindmap_tpu.closed_loop.scripted import (
-        generate_cube_stacking_demos,
-    )
-    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
 
     ds = os.path.join(out, "ds")
-    demos = generate_cube_stacking_demos(
-        ds, num_demos=num_demos, seed=seed, cube_half=CUBE_HALF
-    )
-    cfg = mapping_config()
+    demos = _generator_for_task(task)(ds, num_demos, seed)
+    cfg = mapping_config(task)
     feature_fn = make_mapping_feature_fn(
         "rgb", cfg.upscaled_feature_image_size
     )
+    embodiment = _embodiment_for_task(task)
     for d in demos:
-        process_demo(d, ArmEmbodiment(), cfg, feature_fn)
+        process_demo(d, embodiment, cfg, feature_fn)
     return demos
 
 
-def mapping_config():
+def mapping_config(task: str = DEFAULT_TASK):
     """The closed-loop app's config for 64x64 scene-world cameras."""
     from nvblox_mindmap_tpu.embodiments.registry import Tasks
     from nvblox_mindmap_tpu.mapping.constants import MappingConfig
 
     cfg = MappingConfig.for_task(
-        Tasks.CUBE_STACKING, feature_dim=3, voxel_size_m=0.02,
+        Tasks(task), feature_dim=3, voxel_size_m=0.02,
         max_feature_pages=512,
     ).scaled_for_image_size((64, 64))
     return cfg
 
 
-def train(out: str, num_demos: int, iters: int) -> str:
+def train(out: str, num_demos: int, iters: int,
+          task: str = DEFAULT_TASK) -> str:
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
     log_dir = os.path.join(out, "logs")
     train_main([
         "--dataset", os.path.join(out, "ds"),
-        "--task", "cube_stacking",
+        "--task", task,
         "--data_type", "mesh",
         "--feature_type", "rgb",
         "--demos_train", f"0-{num_demos - 1}",
@@ -114,9 +154,10 @@ def latest_checkpoint(out: str) -> str:
     return ckpts[-1]
 
 
-def load_model(checkpoint: str) -> Tuple:
+def load_model(checkpoint: str, task: str = DEFAULT_TASK) -> Tuple:
     import jax.numpy as jnp
 
+    from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
     from nvblox_mindmap_tpu.mapping.constants import get_workspace_bounds
     from nvblox_mindmap_tpu.models.diffuser_actor import (
         DiffuserActor, DiffuserActorConfig,
@@ -128,14 +169,19 @@ def load_model(checkpoint: str) -> Tuple:
         Trainer, TrainerConfig, make_train_batch_template,
     )
 
+    embodiment = _embodiment_for_task(task)
     cfg = DiffuserActorConfig(
         embedding_dim=EMB, num_attn_heads=8, data_type="mesh",
         feature_type=FeatureExtractorType.RGB,
         diffusion_timesteps=TIMESTEPS,
         fps_subsampling_factor=FPS_SUBSAMPLING,
+        ngrippers=embodiment.num_grippers,
+        predict_head_yaw=(
+            embodiment.embodiment_type == EmbodimentType.HUMANOID
+        ),
     )
     model = DiffuserActor(cfg)
-    bounds = np.asarray(get_workspace_bounds("cube_stacking"))
+    bounds = np.asarray(get_workspace_bounds(task))
     trainer = Trainer(
         cfg, TrainerConfig(batch_size=1, save_checkpoint=False), bounds
     )
@@ -146,7 +192,8 @@ def load_model(checkpoint: str) -> Tuple:
     return model, params, cfg, jnp.asarray(bounds)
 
 
-def open_loop_eval(out: str, num_demos: int, checkpoint: str) -> Dict:
+def open_loop_eval(out: str, num_demos: int, checkpoint: str,
+                   task: str = DEFAULT_TASK) -> Dict:
     """Per-keypose open-loop error against the TRAINING keypose set."""
     import jax
     import jax.numpy as jnp
@@ -156,15 +203,14 @@ def open_loop_eval(out: str, num_demos: int, checkpoint: str) -> Dict:
     from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
     from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
     from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
-    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
     from nvblox_mindmap_tpu.utils.config import TrainingAppArgs
 
-    model, params, cfg, bounds = load_model(checkpoint)
+    model, params, cfg, bounds = load_model(checkpoint, task)
     infer = make_infer_fn(model, bounds)
-    args = TrainingAppArgs(task="cube_stacking")
+    args = TrainingAppArgs(task=task)
     extra, mode = resolve_keypose_params(args)
     loader, _ = get_data_loader_by_data_type(
-        embodiment=ArmEmbodiment(),
+        embodiment=_embodiment_for_task(task),
         dataset_path=os.path.join(out, "ds"),
         demos=f"0-{num_demos - 1}",
         num_workers=0, batch_size=1, use_keyposes=True, data_type="mesh",
@@ -186,15 +232,22 @@ def open_loop_eval(out: str, num_demos: int, checkpoint: str) -> Dict:
             lambda x: jnp.asarray(x) if x is not None else None, batch,
             is_leaf=lambda x: x is None,
         )
+        # (horizon, num_grippers, 8): mean over grippers of the 3-seed-mean
+        # position error; openness accuracy over every gripper slot.
         preds = [
             np.asarray(infer(params, db, jax.random.PRNGKey(97 * s + i))[0])
-            [0, 0, 0] for s in range(3)
+            [0, 0] for s in range(3)
         ]
         pred = np.mean(preds, axis=0)
-        gt = np.asarray(batch["gt_gripper_pred"])[0, 0, 0]
-        errors.append(float(np.linalg.norm(pred[:3] - gt[:3])))
-        openness_correct.append(bool((pred[7] >= 0.5) == (gt[7] >= 0.5)))
+        gt = np.asarray(batch["gt_gripper_pred"])[0, 0]
+        errors.append(float(np.mean(
+            np.linalg.norm(pred[:, :3] - gt[:, :3], axis=-1)
+        )))
+        openness_correct.extend(
+            (pred[:, 7] >= 0.5) == (gt[:, 7] >= 0.5)
+        )
     result = {
+        "task": task,
         "mean_keypose_error_m": float(np.mean(errors)),
         "median_keypose_error_m": float(np.median(errors)),
         "openness_accuracy": float(np.mean(openness_correct)),
@@ -205,10 +258,8 @@ def open_loop_eval(out: str, num_demos: int, checkpoint: str) -> Dict:
 
 
 def closed_loop(out: str, num_demos: int, checkpoint: str,
-                demos_subset: List[int] | None = None) -> Dict:
-    from nvblox_mindmap_tpu.closed_loop.evaluators import (
-        CubeStackingEvaluator,
-    )
+                demos_subset: List[int] | None = None,
+                task: str = DEFAULT_TASK) -> Dict:
     from nvblox_mindmap_tpu.closed_loop.policies import (
         NvbloxDiffuserActorPolicy,
     )
@@ -216,10 +267,9 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
         ClosedLoopConfig, run_closed_loop_policy,
     )
     from nvblox_mindmap_tpu.closed_loop.scripted import env_from_scene_json
-    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
 
-    model, params, cfg, bounds = load_model(checkpoint)
-    embodiment = ArmEmbodiment()
+    model, params, cfg, bounds = load_model(checkpoint, task)
+    embodiment = _embodiment_for_task(task)
     ds = os.path.join(out, "ds")
     indices = demos_subset or list(range(num_demos))
     demos = [os.path.join(ds, f"demo_{i:05d}") for i in indices]
@@ -231,19 +281,19 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
 
     def make_policy(demo_path):
         return NvbloxDiffuserActorPolicy(
-            model, params, embodiment, mapping_config(), np.asarray(bounds),
+            model, params, embodiment, mapping_config(task),
+            np.asarray(bounds),
             num_vertices_to_sample=N_VERTICES, seed=3,
         )
 
-    evaluator = CubeStackingEvaluator(
-        num_cubes=2, cube_side_length=2 * CUBE_HALF
-    )
+    evaluator = _evaluator_for_task(task)
     summary = run_closed_loop_policy(
         make_env, make_policy, embodiment, evaluator, demo_names=demos,
         config=ClosedLoopConfig(
             max_num_steps=220, max_num_steps_to_goal=30, num_retries=2
         ),
     )
+    summary = {"task": task, **summary}
     print(json.dumps(summary, indent=2, default=str))
     with open(os.path.join(out, "closed_loop_summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
@@ -254,6 +304,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("stage", choices=[
         "gen", "train", "openloop", "closedloop", "all"])
+    p.add_argument("--task", default=DEFAULT_TASK, choices=[
+        "cube_stacking", "mug_in_drawer", "drill_in_box", "stick_in_bin"])
     p.add_argument("--out", default="/tmp/task_success")
     p.add_argument("--num_demos", type=int, default=8)
     p.add_argument("--train_iters", type=int, default=4000)
@@ -261,13 +313,18 @@ def main(argv=None):
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     if args.stage in ("gen", "all"):
-        gen_and_fuse(args.out, args.num_demos, args.seed)
+        gen_and_fuse(args.out, args.num_demos, args.seed, args.task)
     if args.stage in ("train", "all"):
-        train(args.out, args.num_demos, args.train_iters)
+        train(args.out, args.num_demos, args.train_iters, args.task)
     if args.stage in ("openloop", "all"):
-        open_loop_eval(args.out, args.num_demos, latest_checkpoint(args.out))
+        open_loop_eval(
+            args.out, args.num_demos, latest_checkpoint(args.out), args.task
+        )
     if args.stage in ("closedloop", "all"):
-        closed_loop(args.out, args.num_demos, latest_checkpoint(args.out))
+        closed_loop(
+            args.out, args.num_demos, latest_checkpoint(args.out),
+            task=args.task,
+        )
 
 
 if __name__ == "__main__":
