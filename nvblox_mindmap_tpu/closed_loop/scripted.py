@@ -332,28 +332,37 @@ def make_cube_stacking_env(
     camera_pose_fn: Optional[Callable[[int], Dict[str, np.ndarray]]] = None,
     randomize: bool = True,
     grasp_radius_m: float = 0.06,
+    fixed_positions: Optional[Dict[str, np.ndarray]] = None,
 ) -> SceneKinematicEnvironment:
     """Cube-stacking scene with per-seed randomized cube placements.
 
     Cubes rest on the table (top z = 0) inside the cube_stacking task AABB
     (mapping/constants.py): x in [0.3, 0.7], y in [-0.25, 0.25].
+
+    ``fixed_positions``: optional {cube_name: xy} overrides pinning specific
+    cubes across seeds (e.g. a fixed place target so only the pick cube's
+    position varies - the spatial-memory experiment's control).
     """
     rng = np.random.default_rng(seed)
+    fixed_positions = fixed_positions or {}
     objects: Dict[str, np.ndarray] = {}
     positions: List[np.ndarray] = []
     for i in range(num_cubes):
+        name = f"cube_{i + 1}"
         for _ in range(100):
-            if randomize:
+            if name in fixed_positions:
+                xy = np.asarray(fixed_positions[name], dtype=np.float64)[:2]
+            elif randomize:
                 xy = rng.uniform([0.32, -0.22], [0.68, 0.22])
             else:
                 xy = np.asarray([0.4 + 0.2 * i, -0.1 + 0.2 * i])
-            if all(
+            if name in fixed_positions or all(
                 np.linalg.norm(xy - p[:2]) > 6.0 * cube_half for p in positions
             ):
                 break
         pos = np.asarray([xy[0], xy[1], cube_half])
         positions.append(pos)
-        objects[f"cube_{i + 1}"] = pos
+        objects[name] = pos
     start = np.concatenate([[0.4, 0.0, 0.3], DOWN_QUAT, [0.0]]).astype(
         np.float32
     )
@@ -518,6 +527,7 @@ def generate_cube_stacking_demos(
     ] = None,
     require_expert_success: bool = True,
     approach_from=None,
+    fixed_positions: Optional[Dict[str, np.ndarray]] = None,
 ) -> List[str]:
     """Generate ``num_demos`` scripted stacking demos in the demo layout.
 
@@ -532,7 +542,7 @@ def generate_cube_stacking_demos(
     for d in range(num_demos):
         env = make_cube_stacking_env(
             seed + d, num_cubes=num_cubes, cube_half=cube_half,
-            image_size=image_size,
+            image_size=image_size, fixed_positions=fixed_positions,
         )
         if camera_pose_fn_factory is not None:
             env.camera_pose_fn = camera_pose_fn_factory(env)

@@ -22,7 +22,13 @@ Protocol (hermetic, closed_loop/scene.py world):
    not a capacity issue). The mesh observation still contains the cube.
 
 Run: python -m nvblox_mindmap_tpu.scripts.spatial_memory_experiment
-     [--out /tmp/spatial_memory] [--num_demos 8] [--train_iters 1500]
+     [--out /tmp/spatial_memory] [--num_demos 32] [--train_iters 12000]
+
+Budget note (measured, memory: learning-experiment-recipes): 1500 iters /
+8 demos leaves even FIXED keyposes at ~0.10 m error - sanity-check a fixed
+keypose before reading anything into the mesh-vs-rgbd comparison. The
+fixed cube_1 control keeps every non-pick keypose learnable from history
+alone, so undertraining shows up there first.
 """
 from __future__ import annotations
 
@@ -46,6 +52,12 @@ EYE = (0.5, -0.85, 0.55)
 TARGET_SCENE = (0.5, 0.0, 0.05)
 TARGET_AWAY = (-0.4, -1.1, 0.3)  # empty table corner: context, no cubes
 PAN_START, PAN_END = 2, 5
+# The place target (cube_1) is FIXED across scenes so the pick is the ONLY
+# observation-dependent keypose: everything except "where is cube_2" is
+# learnable from the gripper history alone, which isolates the
+# spatial-memory question (can the policy find the remembered cube?) from
+# general scene-understanding capacity at small data scale.
+FIXED_CUBE1_XY = (0.62, 0.17)
 
 
 def panning_camera_factory(env):
@@ -70,6 +82,7 @@ def generate_panning_demos(dataset_dir: str, num_demos: int, seed: int = 100,
         image_size=image_size,
         camera_pose_fn_factory=panning_camera_factory,
         approach_from=STAGING,
+        fixed_positions={"cube_1": np.asarray(FIXED_CUBE1_XY)},
     )
     # Sanity: the pan actually removes the cubes from view - every frame
     # after PAN_END has zero cube-labelled pixels (ids 2..199 are objects).
@@ -120,7 +133,8 @@ def fuse_demos(demo_dirs: List[str]) -> None:
 
 
 def train_policy(dataset_dir: str, log_dir: str, data_type: str,
-                 num_demos: int, train_iters: int, seed: int = 0) -> str:
+                 num_demos: int, train_iters: int, seed: int = 0,
+                 embedding_dim: int = 64, batch_size: int = 32) -> str:
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
     train_main(
@@ -131,7 +145,7 @@ def train_policy(dataset_dir: str, log_dir: str, data_type: str,
             "--feature_type", "rgb",
             "--demos_train", f"0-{num_demos - 1}",
             "--demos_valset", "0",
-            "--embedding_dim", "48",
+            "--embedding_dim", str(embedding_dim),
             # Production timestep count: a 25-step schedule leaves the
             # conditional DDPM sampler visibly wider (measured); eval noise
             # would swamp the mesh-vs-rgbd gap this experiment shows.
@@ -140,7 +154,7 @@ def train_policy(dataset_dir: str, log_dir: str, data_type: str,
             "--num_vertices_to_sample", "512",
             "--image_size", "64,64",
             "--feature_image_size", "16,16",
-            "--batch_size", "16",
+            "--batch_size", str(batch_size),
             "--batch_size_val", "4",
             "--train_iters", str(train_iters),
             "--val_freq", str(train_iters),
@@ -163,7 +177,9 @@ def train_policy(dataset_dir: str, log_dir: str, data_type: str,
 
 
 def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
-                            checkpoint: str, data_type: str) -> Dict:
+                            checkpoint: str, data_type: str,
+                            embedding_dim: int = 64,
+                            eval_seeds: int = 5) -> Dict:
     """Open-loop error restricted to pick keyposes (targets at cube_2)."""
     import jax
     import jax.numpy as jnp
@@ -181,7 +197,7 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
     from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActorConfig
 
     cfg = DiffuserActorConfig(
-        embedding_dim=48,
+        embedding_dim=embedding_dim,
         num_attn_heads=8,
         data_type=data_type,
         feature_type=FeatureExtractorType.RGB,
@@ -239,15 +255,16 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
                 batch,
                 is_leaf=lambda x: x is None,
             )
-            # Error of the 3-seed MEAN prediction: isolates what the policy
-            # KNOWS (its conditional mean) from stochastic-DDPM sampler
-            # width, which is identical machinery for both data types.
+            # Error of the multi-seed MEAN prediction: isolates what the
+            # policy KNOWS (its conditional mean) from stochastic-DDPM
+            # sampler width, which is identical machinery for both data
+            # types.
             preds = [
                 np.asarray(
                     infer(params, device_batch,
                           jax.random.PRNGKey(1000 * s + idx * 31 + i))[0]
                 )[0, 0, 0, :3]
-                for s in range(3)
+                for s in range(eval_seeds)
             ]
             pred = np.mean(preds, axis=0)
             gt = np.asarray(batch["gt_gripper_pred"])[0, 0, 0, :3]
@@ -265,8 +282,24 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
     }
 
 
-def run_experiment(out_dir: str, num_demos: int = 8, train_iters: int = 1500,
-                   seed: int = 100) -> Dict:
+def mean_predictor_floor(demo_dirs: List[str]) -> float:
+    """Error the best scene-blind predictor (the training-set mean cube_2
+    position) achieves on the pick keyposes - the information-theoretic
+    floor a post-pan RGBD policy cannot beat."""
+    cubes = []
+    for demo in demo_dirs:
+        with open(os.path.join(demo, "scene.json")) as f:
+            cubes.append(np.asarray(json.load(f)["objects"]["cube_2"])[:3])
+    cubes = np.stack(cubes)
+    return float(
+        np.mean(np.linalg.norm(cubes - cubes.mean(axis=0, keepdims=True),
+                               axis=1))
+    )
+
+
+def run_experiment(out_dir: str, num_demos: int = 32, train_iters: int = 12000,
+                   seed: int = 100, embedding_dim: int = 64,
+                   batch_size: int = 32, eval_seeds: int = 5) -> Dict:
     dataset = os.path.join(out_dir, "demos")
     demos = generate_panning_demos(dataset, num_demos, seed=seed)
     fuse_demos(demos)
@@ -274,10 +307,12 @@ def run_experiment(out_dir: str, num_demos: int = 8, train_iters: int = 1500,
     for data_type in ("mesh", "rgbd"):
         ckpt = train_policy(
             dataset, os.path.join(out_dir, f"logs_{data_type}"), data_type,
-            num_demos, train_iters,
+            num_demos, train_iters, embedding_dim=embedding_dim,
+            batch_size=batch_size,
         )
         results[data_type] = eval_pick_keypose_error(
-            dataset, demos, ckpt, data_type
+            dataset, demos, ckpt, data_type, embedding_dim=embedding_dim,
+            eval_seeds=eval_seeds,
         )
     mesh_err = results["mesh"]["pick_keypose_error_m"]
     rgbd_err = results["rgbd"]["pick_keypose_error_m"]
@@ -285,6 +320,12 @@ def run_experiment(out_dir: str, num_demos: int = 8, train_iters: int = 1500,
         "mesh_pick_error_m": mesh_err,
         "rgbd_pick_error_m": rgbd_err,
         "rgbd_over_mesh_error_ratio": rgbd_err / max(mesh_err, 1e-9),
+        # A scene-blind predictor's floor: rgbd should sit AT it post-pan,
+        # mesh should beat it (it can still see the cube in the map).
+        "mean_predictor_floor_m": mean_predictor_floor(demos),
+        "num_demos": num_demos,
+        "train_iters": train_iters,
+        "embedding_dim": embedding_dim,
     }
     with open(os.path.join(out_dir, "spatial_memory_results.json"), "w") as f:
         json.dump(results, f, indent=2)
@@ -296,12 +337,16 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="/tmp/spatial_memory")
-    p.add_argument("--num_demos", type=int, default=8)
-    p.add_argument("--train_iters", type=int, default=1500)
+    p.add_argument("--num_demos", type=int, default=32)
+    p.add_argument("--train_iters", type=int, default=12000)
     p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--embedding_dim", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--eval_seeds", type=int, default=5)
     args = p.parse_args(argv)
     results = run_experiment(args.out, args.num_demos, args.train_iters,
-                             args.seed)
+                             args.seed, args.embedding_dim, args.batch_size,
+                             args.eval_seeds)
     print(json.dumps(results, indent=2))
 
 
