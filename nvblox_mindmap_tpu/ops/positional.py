@@ -58,6 +58,12 @@ def rotary_pe_3d(xyz: jnp.ndarray, feature_dim: int) -> jnp.ndarray:
         (..., N, F, 2) with channel 0 = cos, channel 1 = sin; the F axis is
         [x-band || y-band || z-band], each of width F//3.
     """
+    assert feature_dim % 6 == 0, (
+        f"rotary 3D PE needs embedding_dim divisible by 6 (3 xyz bands of "
+        f"sin/cos pairs), got {feature_dim} (reference "
+        f"position_encodings.py:58-145 has the same constraint; use e.g. "
+        f"{feature_dim - feature_dim % 6} or {feature_dim + 6 - feature_dim % 6})"
+    )
     band = feature_dim // 3
     div_term = jnp.exp(
         jnp.arange(0, band, 2, dtype=jnp.float32) * (-math.log(10000.0) / band)

@@ -134,7 +134,7 @@ def fuse_demos(demo_dirs: List[str]) -> None:
 
 def train_policy(dataset_dir: str, log_dir: str, data_type: str,
                  num_demos: int, train_iters: int, seed: int = 0,
-                 embedding_dim: int = 64, batch_size: int = 32) -> str:
+                 embedding_dim: int = 72, batch_size: int = 32) -> str:
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
     train_main(
@@ -178,7 +178,7 @@ def train_policy(dataset_dir: str, log_dir: str, data_type: str,
 
 def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
                             checkpoint: str, data_type: str,
-                            embedding_dim: int = 64,
+                            embedding_dim: int = 72,
                             eval_seeds: int = 5) -> Dict:
     """Open-loop error restricted to pick keyposes (targets at cube_2)."""
     import jax
@@ -298,11 +298,21 @@ def mean_predictor_floor(demo_dirs: List[str]) -> float:
 
 
 def run_experiment(out_dir: str, num_demos: int = 32, train_iters: int = 12000,
-                   seed: int = 100, embedding_dim: int = 64,
+                   seed: int = 100, embedding_dim: int = 72,
                    batch_size: int = 32, eval_seeds: int = 5) -> Dict:
     dataset = os.path.join(out_dir, "demos")
-    demos = generate_panning_demos(dataset, num_demos, seed=seed)
-    fuse_demos(demos)
+    demos = [
+        os.path.join(dataset, f"demo_{d:05d}") for d in range(num_demos)
+    ]
+    # Resume: demo generation + fusion are deterministic in (seed, N); skip
+    # them when every demo already carries a scene.json and fused meshes.
+    if not all(
+        os.path.exists(os.path.join(d, "scene.json"))
+        and glob.glob(os.path.join(d, "*.nvblox_vertex_features.zst"))
+        for d in demos
+    ):
+        demos = generate_panning_demos(dataset, num_demos, seed=seed)
+        fuse_demos(demos)
     results = {}
     for data_type in ("mesh", "rgbd"):
         ckpt = train_policy(
@@ -340,7 +350,7 @@ def main(argv=None):
     p.add_argument("--num_demos", type=int, default=32)
     p.add_argument("--train_iters", type=int, default=12000)
     p.add_argument("--seed", type=int, default=100)
-    p.add_argument("--embedding_dim", type=int, default=64)
+    p.add_argument("--embedding_dim", type=int, default=72)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--eval_seeds", type=int, default=5)
     args = p.parse_args(argv)
