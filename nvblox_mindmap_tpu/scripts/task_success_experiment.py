@@ -26,7 +26,7 @@ Training notes (measured on this chain):
 
 Run: python -m nvblox_mindmap_tpu.scripts.task_success_experiment all
      [--task cube_stacking] [--out /tmp/task_success] [--num_demos 8]
-     [--train_iters 4000]
+     [--train_iters 8000]
 """
 from __future__ import annotations
 
@@ -41,7 +41,7 @@ import numpy as np
 
 CUBE_HALF = 0.04
 N_VERTICES = 512
-EMB = 48
+EMB = 72
 TIMESTEPS = 100
 FPS_SUBSAMPLING = 4
 DEFAULT_TASK = "cube_stacking"
@@ -95,6 +95,15 @@ def gen_and_fuse(out: str, num_demos: int, seed: int,
     )
 
     ds = os.path.join(out, "ds")
+    # Resume: generation + fusion are deterministic in (seed, N); skip when
+    # every demo already carries a scene.json and fused meshes.
+    expected = [os.path.join(ds, f"demo_{d:05d}") for d in range(num_demos)]
+    if all(
+        os.path.exists(os.path.join(d, "scene.json"))
+        and glob.glob(os.path.join(d, "*.nvblox_vertex_features.zst"))
+        for d in expected
+    ):
+        return expected
     demos = _generator_for_task(task)(ds, num_demos, seed)
     cfg = mapping_config(task)
     feature_fn = make_mapping_feature_fn(
@@ -308,7 +317,7 @@ def main(argv=None):
         "cube_stacking", "mug_in_drawer", "drill_in_box", "stick_in_bin"])
     p.add_argument("--out", default="/tmp/task_success")
     p.add_argument("--num_demos", type=int, default=8)
-    p.add_argument("--train_iters", type=int, default=4000)
+    p.add_argument("--train_iters", type=int, default=8000)
     p.add_argument("--seed", type=int, default=21)
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
