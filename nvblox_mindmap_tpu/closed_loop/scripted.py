@@ -276,6 +276,24 @@ def write_scene_json(demo_dir: str, env: SceneKinematicEnvironment) -> None:
         "head_look_z_m": env.head_look_z_m,
         "max_head_yaw_step_rad": env.max_head_yaw_step_rad,
     }
+    if not env._is_humanoid:
+        # Serialize the (step-only) camera schedule so closed-loop replay
+        # renders what the recording rendered - e.g. a panning camera that
+        # looks away from the objects (the spatial-memory scenario). The
+        # humanoid pov rig is state-dependent (follows head yaw) and is
+        # already reconstructed from the head-rig keys above.
+        n = max(env.steps + 1, 1)
+        schedule: Dict[str, List[List[float]]] = {}
+        for t in range(n):
+            for name, pose in env.camera_pose_fn(t).items():
+                schedule.setdefault(name, []).append(
+                    [float(x) for x in pose]
+                )
+        # Drop the constant tail: replay holds the last recorded pose.
+        for name, poses in schedule.items():
+            while len(poses) > 1 and poses[-1] == poses[-2]:
+                poses.pop()
+        spec["camera_schedule"] = schedule
     with open(os.path.join(demo_dir, "scene.json"), "w") as f:
         json.dump(spec, f, indent=2)
 
@@ -308,6 +326,19 @@ def env_from_scene_json(demo_dir: str) -> Optional[SceneKinematicEnvironment]:
     ):
         if key in spec:
             extra[key] = spec[key]
+    camera_pose_fn = None
+    if "camera_schedule" in spec:
+        schedule = {
+            name: [np.asarray(p, np.float32) for p in poses]
+            for name, poses in spec["camera_schedule"].items()
+        }
+
+        def camera_pose_fn(step: int) -> Dict[str, np.ndarray]:
+            return {
+                name: poses[min(step, len(poses) - 1)]
+                for name, poses in schedule.items()
+            }
+
     return SceneKinematicEnvironment(
         embodiment,
         np.asarray(spec["initial_state"], np.float32),
@@ -320,6 +351,7 @@ def env_from_scene_json(demo_dir: str) -> Optional[SceneKinematicEnvironment]:
             k: np.asarray(v)
             for k, v in spec.get("object_colors", {}).items()
         },
+        camera_pose_fn=camera_pose_fn,
         **extra,
     )
 
