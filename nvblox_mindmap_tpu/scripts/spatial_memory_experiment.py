@@ -111,22 +111,11 @@ def fuse_demos(demo_dirs: List[str]) -> None:
         process_demo,
     )
     from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
-    from nvblox_mindmap_tpu.embodiments.registry import Tasks
-    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
 
-    cfg = MappingConfig.for_task(
-        Tasks.CUBE_STACKING, feature_dim=3, voxel_size_m=0.02,
-        max_feature_pages=512,
-    )
-    cfg = dataclasses.replace(
-        cfg,
-        upscaled_feature_image_size=(64, 64),
-        static_mask_erosion_iterations=2,
-        valid_depth_mask_erosion_iterations=2,
-        # Keep remembered surfaces alive while the camera is away: the task
-        # default (0.98/frame) is tuned for continuous re-observation.
-        tsdf_decay_factor=0.999,
-    )
+    # Note the decay override inside _mapping_config: remembered surfaces
+    # must stay alive while the camera is away; the task default
+    # (0.98/frame) is tuned for continuous re-observation.
+    cfg = _mapping_config()
     feature_fn = make_mapping_feature_fn("rgb", cfg.upscaled_feature_image_size)
     for d in demo_dirs:
         process_demo(d, ArmEmbodiment(), cfg, feature_fn)
@@ -282,6 +271,140 @@ def eval_pick_keypose_error(dataset_dir: str, demo_dirs: List[str],
     }
 
 
+def refresh_scene_jsons(dataset: str, num_demos: int, seed: int) -> None:
+    """Re-write scene.json for already-recorded demos (envs are deterministic
+    in seed), picking up the serialized panning-camera schedule."""
+    from nvblox_mindmap_tpu.closed_loop.scripted import (
+        make_cube_stacking_env,
+        write_scene_json,
+    )
+
+    for d in range(num_demos):
+        demo = os.path.join(dataset, f"demo_{d:05d}")
+        env = make_cube_stacking_env(
+            seed + d, num_cubes=2, cube_half=CUBE_HALF, image_size=64,
+            fixed_positions={"cube_1": np.asarray(FIXED_CUBE1_XY)},
+        )
+        env.camera_pose_fn = panning_camera_factory(env)
+        env.steps = len(
+            glob.glob(os.path.join(demo, "*.wrist_rgb.png"))
+        )
+        write_scene_json(demo, env)
+
+
+def closed_loop_memory_eval(out_dir: str, data_type: str,
+                            num_demos: int = 6, embedding_dim: int = 72,
+                            seed: int = 100) -> Dict:
+    """Closed-loop rollouts on panning scenes: the camera looks away after
+    the first frames, so the policy must act on remembered geometry.
+
+    This is the full headline capability (reference README.md:31-47) live:
+    scripted pan -> online fusion -> diffusion goals -> CubeStackingEvaluator
+    judging object state. The mesh policy can succeed; the rgbd policy has
+    no information about the cube position once the pan completes.
+    """
+    import jax.numpy as jnp
+
+    from nvblox_mindmap_tpu.closed_loop.evaluators import CubeStackingEvaluator
+    from nvblox_mindmap_tpu.closed_loop.policies import (
+        NvbloxDiffuserActorPolicy,
+    )
+    from nvblox_mindmap_tpu.closed_loop.runner import (
+        ClosedLoopConfig,
+        run_closed_loop_policy,
+    )
+    from nvblox_mindmap_tpu.closed_loop.scripted import env_from_scene_json
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode  # noqa: F401
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+    from nvblox_mindmap_tpu.mapping.constants import get_workspace_bounds
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import (
+        FeatureExtractorType,
+    )
+    from nvblox_mindmap_tpu.training.trainer import Trainer, TrainerConfig
+
+    dataset = os.path.join(out_dir, "demos")
+    refresh_scene_jsons(dataset, num_demos, seed)
+    ckpts = sorted({os.path.realpath(p) for p in glob.glob(os.path.join(
+        out_dir, f"logs_{data_type}", "checkpoints", "*", "last.ckpt"))})
+    assert len(ckpts) == 1, ckpts
+
+    cfg = DiffuserActorConfig(
+        embedding_dim=embedding_dim,
+        num_attn_heads=8,
+        data_type=data_type,
+        feature_type=FeatureExtractorType.RGB,
+        feature_image_size=(16, 16),
+        diffusion_timesteps=100,
+        fps_subsampling_factor=4,
+    )
+    model = DiffuserActor(cfg)
+    embodiment = ArmEmbodiment()
+    bounds = np.asarray(get_workspace_bounds("cube_stacking"))
+    trainer = Trainer(cfg, TrainerConfig(save_checkpoint=False), bounds)
+    params = None
+
+    cube_half = CUBE_HALF
+
+    def make_env(demo_path):
+        env = env_from_scene_json(demo_path)
+        assert env is not None and "camera_schedule" in open(
+            os.path.join(demo_path, "scene.json")
+        ).read()
+        return env
+
+    mapping = _mapping_config()
+
+    def make_policy(demo_path):
+        nonlocal params
+        if params is None:
+            from nvblox_mindmap_tpu.training.trainer import (
+                make_train_batch_template,
+            )
+
+            template = make_train_batch_template(
+                cfg, batch_size=1, n_vertices=512, feature_dim=3,
+                image_size=64,
+            )
+            params, _, _, _ = trainer.load_checkpoint(ckpts[0], template)
+        return NvbloxDiffuserActorPolicy(
+            model, params, embodiment, mapping, bounds,
+            num_vertices_to_sample=512, seed=7,
+        )
+
+    evaluator = CubeStackingEvaluator(
+        num_cubes=2, cube_side_length=2 * cube_half
+    )
+    demos = [os.path.join(dataset, f"demo_{d:05d}") for d in range(num_demos)]
+    summary = run_closed_loop_policy(
+        make_env, make_policy, embodiment, evaluator, demo_names=demos,
+        config=ClosedLoopConfig(
+            max_num_steps=220, max_num_steps_to_goal=30, num_retries=2
+        ),
+    )
+    return {"data_type": data_type, **summary}
+
+
+def _mapping_config():
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+    from nvblox_mindmap_tpu.mapping.constants import MappingConfig
+
+    cfg = MappingConfig.for_task(
+        Tasks.CUBE_STACKING, feature_dim=3, voxel_size_m=0.02,
+        max_feature_pages=512,
+    )
+    return dataclasses.replace(
+        cfg,
+        upscaled_feature_image_size=(64, 64),
+        static_mask_erosion_iterations=2,
+        valid_depth_mask_erosion_iterations=2,
+        tsdf_decay_factor=0.999,
+    )
+
+
 def mean_predictor_floor(demo_dirs: List[str]) -> float:
     """Error the best scene-blind predictor (the training-set mean cube_2
     position) achieves on the pick keyposes - the information-theoretic
@@ -353,11 +476,46 @@ def main(argv=None):
     p.add_argument("--embedding_dim", type=int, default=72)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--eval_seeds", type=int, default=5)
+    p.add_argument("--closed_loop_demos", type=int, default=0,
+                   help="after open-loop eval, run N closed-loop panning "
+                        "scenes per arm (0 = skip)")
+    p.add_argument("--only_closed_loop", action="store_true",
+                   help="skip gen/train/eval; run closed-loop against the "
+                        "checkpoints already under --out")
     args = p.parse_args(argv)
+    if args.only_closed_loop:
+        results = {}
+        for data_type in ("mesh", "rgbd"):
+            results[data_type] = closed_loop_memory_eval(
+                args.out, data_type, num_demos=args.closed_loop_demos or 6,
+                embedding_dim=args.embedding_dim, seed=args.seed,
+            )
+        path = os.path.join(args.out, "spatial_memory_results.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        else:
+            merged = {}
+        merged["closed_loop"] = results
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=2, default=str)
+        print(json.dumps(results, indent=2, default=str))
+        return
     results = run_experiment(args.out, args.num_demos, args.train_iters,
                              args.seed, args.embedding_dim, args.batch_size,
                              args.eval_seeds)
-    print(json.dumps(results, indent=2))
+    if args.closed_loop_demos > 0:
+        results["closed_loop"] = {
+            data_type: closed_loop_memory_eval(
+                args.out, data_type, num_demos=args.closed_loop_demos,
+                embedding_dim=args.embedding_dim, seed=args.seed,
+            )
+            for data_type in ("mesh", "rgbd")
+        }
+        with open(os.path.join(args.out, "spatial_memory_results.json"),
+                  "w") as f:
+            json.dump(results, f, indent=2, default=str)
+    print(json.dumps(results, indent=2, default=str))
 
 
 if __name__ == "__main__":
