@@ -144,3 +144,49 @@ def test_scene_json_restores_panning_camera(panning_demos):
         replay_seg = env.get_cameras()["wrist"].segmentation
         static &= replay_seg < 200
         assert np.abs(rendered[static] - recorded[static]).max() < 2.5 / 255.0
+
+
+@pytest.mark.slow
+def test_trained_mesh_policy_beats_rgbd_on_remembered_pick(tmp_path):
+    """VERDICT r2 #2, pinned with trained checkpoints: on panning scenes the
+    MESH policy predicts the remembered pick to centimeters while the RGBD
+    policy cannot beat the scene-blind mean-predictor floor. Fixtures were
+    trained by scripts/spatial_memory_experiment.py (32 demos, 12k iters,
+    width 72; full run measured mesh 0.018 m vs rgbd 0.150 m, floor 0.136 m,
+    documented in docs/pages/spatial_memory.md). The demos regenerate
+    deterministically from the experiment's seeds."""
+    from nvblox_mindmap_tpu.scripts.spatial_memory_experiment import (
+        eval_pick_keypose_error,
+        mean_predictor_floor,
+    )
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "test_data", "spatial_memory"
+    )
+    mesh_ckpt = os.path.join(fixture, "mesh_last.ckpt")
+    rgbd_ckpt = os.path.join(fixture, "rgbd_last.ckpt")
+    assert os.path.exists(mesh_ckpt) and os.path.exists(rgbd_ckpt)
+
+    # Three of the fixture's TRAINING scenes (same seeds => same scenes);
+    # the question is memory mechanics, not generalization.
+    ds = tmp_path / "demos"
+    demos = generate_panning_demos(str(ds), 3, seed=100, image_size=64)
+    fuse_demos(demos)
+
+    mesh = eval_pick_keypose_error(
+        str(ds), demos, mesh_ckpt, "mesh", embedding_dim=72, eval_seeds=3
+    )
+    rgbd = eval_pick_keypose_error(
+        str(ds), demos, rgbd_ckpt, "rgbd", embedding_dim=72, eval_seeds=3
+    )
+    floor = mean_predictor_floor(demos)
+    # Qualitative gap: mesh localizes the out-of-view cube; rgbd cannot do
+    # meaningfully better than predicting a constant. (floor is logged for
+    # context; with only 3 scenes its exact value is noisy.)
+    print(f"mesh={mesh['pick_keypose_error_m']:.3f} "
+          f"rgbd={rgbd['pick_keypose_error_m']:.3f} floor~{floor:.3f}")
+    assert mesh["pick_keypose_error_m"] < 0.06, mesh
+    assert rgbd["pick_keypose_error_m"] > 0.08, rgbd
+    assert rgbd["pick_keypose_error_m"] > 2.0 * mesh["pick_keypose_error_m"], (
+        mesh, rgbd,
+    )
