@@ -60,6 +60,20 @@ PAN_START, PAN_END = 2, 5
 FIXED_CUBE1_XY = (0.62, 0.17)
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compile cache (same dir as bench.py): repeat stage
+    runs skip the minutes-long first compile through the TPU tunnel."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/jax_compilation_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def panning_camera_factory(env):
     """Camera schedule: observe the scene briefly, then pan away for good."""
 
@@ -483,6 +497,7 @@ def main(argv=None):
                    help="skip gen/train/eval; run closed-loop against the "
                         "checkpoints already under --out")
     args = p.parse_args(argv)
+    _enable_compilation_cache()
     if args.only_closed_loop:
         results = {}
         for data_type in ("mesh", "rgbd"):

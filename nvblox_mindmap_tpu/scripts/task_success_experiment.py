@@ -47,6 +47,20 @@ FPS_SUBSAMPLING = 4
 DEFAULT_TASK = "cube_stacking"
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compile cache (same dir as bench.py): repeat stage
+    runs skip the minutes-long first compile through the TPU tunnel."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/jax_compilation_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def _generator_for_task(task: str):
     from nvblox_mindmap_tpu.closed_loop import scripted
 
@@ -320,6 +334,7 @@ def main(argv=None):
     p.add_argument("--train_iters", type=int, default=8000)
     p.add_argument("--seed", type=int, default=21)
     args = p.parse_args(argv)
+    _enable_compilation_cache()
     os.makedirs(args.out, exist_ok=True)
     if args.stage in ("gen", "all"):
         gen_and_fuse(args.out, args.num_demos, args.seed, args.task)
