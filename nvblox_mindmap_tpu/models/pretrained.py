@@ -118,7 +118,9 @@ def build_backbone(
                 backbone_weights,
             )
             H = feature_image_size[0] * 16
-            fresh = module.init(
+            # jitted: eager flax init of the ResNet50 trunk is ~10 s of
+            # op-by-op dispatch on CPU (worse through the TPU tunnel).
+            fresh = jax.jit(module.init)(
                 jax.random.PRNGKey(0), np.zeros((1, H, H, 3), np.float32)
             )["params"]
             fresh = dict(fresh)

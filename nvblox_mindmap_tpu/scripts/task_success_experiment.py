@@ -310,10 +310,18 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
         )
 
     evaluator = _evaluator_for_task(task)
+    # Step budgets: 220 suffices for the arm tasks (measured); the humanoid
+    # demos are longer (two-handed reach + head turns) and their GT chains
+    # validate at 500 (tests/test_humanoid_tasks.py).
+    from nvblox_mindmap_tpu.embodiments.base import EmbodimentType
+
+    max_steps = (
+        500 if embodiment.embodiment_type == EmbodimentType.HUMANOID else 220
+    )
     summary = run_closed_loop_policy(
         make_env, make_policy, embodiment, evaluator, demo_names=demos,
         config=ClosedLoopConfig(
-            max_num_steps=220, max_num_steps_to_goal=30, num_retries=2
+            max_num_steps=max_steps, max_num_steps_to_goal=30, num_retries=2
         ),
     )
     summary = {"task": task, **summary}

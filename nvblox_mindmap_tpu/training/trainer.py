@@ -167,7 +167,10 @@ class Trainer:
         B = batch_template["gripper_history"].shape[0]
         noisy = jnp.zeros((B, L, G, 9))
         ts = jnp.zeros((B,), dtype=jnp.int32)
-        variables = self.model.init(rng, prepared, noisy, ts)
+        # jit the init: eager flax init dispatches thousands of tiny ops
+        # (minutes through the TPU tunnel, ~40 s on one CPU core); compiled
+        # init runs in seconds and hits the persistent compile cache.
+        variables = jax.jit(self.model.init)(rng, prepared, noisy, ts)
         params = variables["params"]
         if self.backbone_weights and self.model_config.data_type in (
             "rgbd", "rgbd_and_mesh",

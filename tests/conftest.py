@@ -37,6 +37,26 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def fast_tmp_path(tmp_path):
+    """RAM-backed scratch dir for tests that write model-sized files: this
+    host's /tmp disk writes at ~10 MB/s, so a 100 MB checkpoint costs ~10 s
+    per write; /dev/shm is tmpfs. Falls back to tmp_path when absent."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    if os.path.isdir("/dev/shm"):
+        d = tempfile.mkdtemp(prefix="mindmap_test_", dir="/dev/shm")
+        yield pathlib.Path(d)
+        shutil.rmtree(d, ignore_errors=True)
+    else:
+        yield tmp_path
+
+
 def pytest_addoption(parser):
     # Regenerate stored regression baselines (reference:
     # tests/conftest.py --generate_baseline).

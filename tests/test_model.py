@@ -123,7 +123,9 @@ def test_gradients_flow():
             model, {"params": params}, prepared, jax.random.PRNGKey(1)
         )["total"]
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    # jitted: the eager grad pass is ~45 s of op-by-op dispatch on one CPU
+    # core; compiled it runs in seconds and persists in the compile cache.
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     leaves = jax.tree_util.tree_leaves(grads)
     norms = [float(jnp.linalg.norm(g)) for g in leaves]
     assert all(np.isfinite(n) for n in norms)
@@ -144,7 +146,11 @@ def test_default_config_param_count():
     prepared = prepare_inputs(batch, BOUNDS, cfg)
     noisy = jnp.zeros((2, 1, 1, 9))
     ts = jnp.zeros((2,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    # Param counting only needs shapes: eval_shape traces without compiling
+    # or executing the full-width model (which takes ~20 s on one CPU core).
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), prepared, noisy, ts
+    )
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 1_500_000 < n_params < 6_000_000, n_params
 

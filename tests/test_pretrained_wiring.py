@@ -22,7 +22,10 @@ RADIO_WIDTH, RADIO_DEPTH, RADIO_HEADS, RADIO_PATCH = 768, 12, 12, 16
 def make_random_vit_sd(width, depth, patch, grid, seed=0, with_cls=True):
     """Numpy-crafted timm-style state dict (no torch needed)."""
     rng = np.random.default_rng(seed)
-    n = lambda *s: (rng.normal(size=s) * 0.02).astype(np.float32)
+    # float32-native generation: the float64 normal(size=...) path allocates
+    # ~690 MB of temporaries per ViT-B layer stack and measures ~30x slower
+    # on this host (mmap churn), so keep it f32 end to end.
+    n = lambda *s: rng.standard_normal(s, dtype=np.float32) * np.float32(0.02)
     n_prefix = 1 if with_cls else 0
     sd = {
         "patch_embed.proj.weight": n(width, 3, patch, patch),
@@ -61,6 +64,25 @@ def write_radio_npz(path, grid=4, seed=0):
     return params
 
 
+@pytest.fixture(scope="module")
+def radio_npz(tmp_path_factory):
+    """One shared radio_v25_b-shaped npz (grid=4, seed=0): writing the
+    ~340 MB ViT-B weight file dominates these tests' runtime, so the three
+    tests that need identical content share a single copy, on tmpfs when
+    available (this host's /tmp disk writes at ~10 MB/s; /dev/shm is RAM)."""
+    import shutil
+    import tempfile
+
+    if os.path.isdir("/dev/shm"):
+        d = tempfile.mkdtemp(prefix="radio_npz_", dir="/dev/shm")
+    else:
+        d = str(tmp_path_factory.mktemp("radio"))
+    path = os.path.join(d, "radio.npz")
+    converted = write_radio_npz(path, grid=4)
+    yield path, converted
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_datagen_refuses_random_backbone(tmp_path):
     from tests.test_data_pipeline import write_arm_demo
     from nvblox_mindmap_tpu.apps.run_datagen import main as datagen_main
@@ -97,13 +119,12 @@ def test_training_refuses_random_backbone_for_rgbd(tmp_path):
         )
 
 
-def test_mapping_feature_fn_runs_radio_shaped_weights(tmp_path):
+def test_mapping_feature_fn_runs_radio_shaped_weights(radio_npz):
     """make_feature_fn loads converted radio_v25_b weights and produces
     768-d upscaled feature images (the flagship mapping configuration)."""
     from nvblox_mindmap_tpu.models.pretrained import make_feature_fn
 
-    path = str(tmp_path / "radio.npz")
-    write_radio_npz(path, grid=4)
+    path, _ = radio_npz
     fn = make_feature_fn(
         FeatureExtractorType.RADIO_V25_B,
         output_size=(64, 64),
@@ -118,7 +139,7 @@ def test_mapping_feature_fn_runs_radio_shaped_weights(tmp_path):
     np.testing.assert_array_equal(feats, np.asarray(fn(rgb)))
 
 
-def test_trainer_grafts_backbone_weights(tmp_path):
+def test_trainer_grafts_backbone_weights(radio_npz):
     """init_state installs the converted weights at
     params/encoder/feature_extractor (bit-exact), leaving the rest fresh."""
     from nvblox_mindmap_tpu.embodiments.registry import Tasks
@@ -130,8 +151,7 @@ def test_trainer_grafts_backbone_weights(tmp_path):
         make_train_batch_template,
     )
 
-    path = str(tmp_path / "radio.npz")
-    converted = write_radio_npz(path, grid=4)
+    path, converted = radio_npz
 
     cfg = DiffuserActorConfig(
         embedding_dim=24,
@@ -163,13 +183,12 @@ def test_trainer_grafts_backbone_weights(tmp_path):
     )
 
 
-def test_prefix_token_mismatch_is_loud(tmp_path):
+def test_prefix_token_mismatch_is_loud(radio_npz):
     from nvblox_mindmap_tpu.models.pretrained import (
         graft_backbone_into_model_params,
     )
 
-    path = str(tmp_path / "radio.npz")
-    write_radio_npz(path, grid=4)
+    path, _ = radio_npz
     # A model built WITHOUT prefix tokens must refuse cls-token weights.
     fake_params = {
         "encoder": {"feature_extractor": {"pos_embed": np.zeros((1, 16, 768))}}
@@ -180,7 +199,7 @@ def test_prefix_token_mismatch_is_loud(tmp_path):
         )
 
 
-def test_clip_trunk_only_checkpoint_gets_fresh_fpn(tmp_path, caplog):
+def test_clip_trunk_only_checkpoint_gets_fresh_fpn(fast_tmp_path, caplog):
     """build_backbone with a trunk-only CLIP npz (what the converter emits
     without --fpn) must init fresh FPN params and graft the trunk - the
     module cannot apply with backbone params alone - and must WARN that the
@@ -197,7 +216,7 @@ def test_clip_trunk_only_checkpoint_gets_fresh_fpn(tmp_path, caplog):
     full = jax.jit(module.init)(
         jax.random.PRNGKey(1), np.zeros((1, 64, 64, 3), np.float32)
     )["params"]
-    path = str(tmp_path / "clip_trunk.npz")
+    path = str(fast_tmp_path / "clip_trunk.npz")
     save_variables_npz(path, {"params": {"backbone": full["backbone"]}})
 
     import logging
