@@ -185,6 +185,9 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         self.mapping_config = mapping_config
         self.bounds = jnp.asarray(workspace_bounds, dtype=jnp.float32)
         self.num_vertices_to_sample = num_vertices_to_sample
+        # Live surface-extraction budget; grows (powers of two) whenever the
+        # scene produces more zero-crossings, up to the datagen default.
+        self._mesh_budget = max(num_vertices_to_sample, 4096)
         self.vertex_sampling_method = vertex_sampling_method
         self.num_history = num_history
         self.include_dynamic = include_dynamic
@@ -277,6 +280,30 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
             self.history.append(state)
 
     # --- inference -----------------------------------------------------------
+    def _extract_mesh_growing(self, mapper_id: int) -> None:
+        """update_feature_mesh with an adaptive vertex budget.
+
+        nvblox's mesh grows without a cap; the XLA extraction pass needs a
+        static size, so a fixed budget would TRUNCATE big scenes - and the
+        truncation is by voxel linear index, i.e. it silently drops one side
+        of the workspace that the training meshes (datagen default 65536,
+        mapper.py save_feature_mesh_to_disk) still contain. Doubling the
+        budget until the crossing count fits keeps the compiled-program set
+        small (one program per power of two) and the live input distribution
+        equal to training. The budget persists across steps: scene surface
+        area only shrinks via decay, so regrowth is rare.
+        """
+        cap = 65536  # datagen extraction default: train/serve parity bound
+        self.mapper.update_feature_mesh(
+            mapper_id, max_vertices=self._mesh_budget
+        )
+        while (self.mapper.last_crossing_count > self._mesh_budget
+               and self._mesh_budget < cap):
+            self._mesh_budget = min(2 * self._mesh_budget, cap)
+            self.mapper.update_feature_mesh(
+                mapper_id, max_vertices=self._mesh_budget
+            )
+
     def _model_inputs(self, env: EnvironmentBase) -> Dict:
         batch: Dict = {
             "gt_gripper_pred": None,
@@ -295,8 +322,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         batch["gripper_history"] = self.embodiment.split_gripper_tensor(hist_arr)
 
         if self.config.data_type in ("mesh", "rgbd_and_mesh"):
-            budget = max(self.num_vertices_to_sample, 4096)
-            self.mapper.update_feature_mesh(MapperId.STATIC, max_vertices=budget)
+            self._extract_mesh_growing(MapperId.STATIC)
             # remove_zero_features=True matches the reference live policy
             # (nvblox_diffuser_actor_policy.py:208-210).
             vertices, features = get_vertices_and_features(
@@ -307,9 +333,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
                 # (save_feature_mesh_to_disk include_dynamic); the live policy
                 # must see the same - the manipulated object lives in the
                 # DYNAMIC mapper and is masked out of the static map.
-                self.mapper.update_feature_mesh(
-                    MapperId.DYNAMIC, max_vertices=budget
-                )
+                self._extract_mesh_growing(MapperId.DYNAMIC)
                 dyn_v, dyn_f = get_vertices_and_features(
                     self.mapper, MapperId.DYNAMIC, remove_zero_features=True
                 )

@@ -507,3 +507,29 @@ def test_intermediate_goals_still_require_head_yaw():
         emb, near_yaw_ok, goal, is_intermediate_goal=True,
         max_intermediate_distance_m=0.1,
     )
+
+
+def test_live_policy_mesh_budget_grows_to_fit_scene():
+    """Scenes with more zero-crossings than the live extraction budget must
+    grow the budget (powers of two, persisted) instead of truncating - a
+    fixed budget drops voxels by linear index, i.e. one side of the
+    workspace, while the training meshes (datagen default 65536) keep them.
+    The humanoid scene worlds measure ~6300 crossings at the default 4096."""
+    pol = NvbloxDiffuserActorPolicy.__new__(NvbloxDiffuserActorPolicy)
+    pol._mesh_budget = 4096
+    calls = []
+
+    class FakeMapper:
+        last_crossing_count = 0
+
+        def update_feature_mesh(self, mapper_id, max_vertices):
+            calls.append(max_vertices)
+            self.last_crossing_count = 6300
+
+    pol.mapper = FakeMapper()
+    pol._extract_mesh_growing(0)
+    assert calls == [4096, 8192]
+    assert pol._mesh_budget == 8192
+    # Next extraction starts at the grown budget (no repeated re-extraction).
+    pol._extract_mesh_growing(0)
+    assert calls[-1] == 8192
