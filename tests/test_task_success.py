@@ -110,40 +110,43 @@ def test_gt_policy_scene_world_mug_in_drawer_success(tmp_path):
 
 
 @pytest.mark.slow
-def test_trained_policy_closed_loop_task_success(tmp_path):
+@pytest.mark.parametrize(
+    "task", ["cube_stacking", "mug_in_drawer", "drill_in_box", "stick_in_bin"]
+)
+def test_trained_policy_closed_loop_task_success(tmp_path, task):
     """VERDICT r2 #1: a TRAINED diffusion policy earns task-evaluator success
-    closed-loop. The checkpoint fixture is produced by
-    scripts/task_success_experiment.py (gen -> fuse -> run_training app with
-    gripper_state_change weighting); here the seeded demo scenes are rebuilt
-    and the policy runs live mapping + diffusion against
-    CubeStackingEvaluator judging object state (reference chain:
-    closed_loop/closed_loop_policy.py:242-317). Skips when the fixture has
-    not been built (see the script's docstring for the recipe)."""
-    fixture = os.path.join(
-        os.path.dirname(__file__), "test_data", "task_success"
-    )
-    ckpt = os.path.join(fixture, "last.ckpt")
-    if not os.path.exists(ckpt):
-        pytest.skip(
-            "task-success checkpoint fixture missing; build it with "
-            "python -m nvblox_mindmap_tpu.scripts.task_success_experiment all"
-        )
-    from nvblox_mindmap_tpu.closed_loop.scripted import (
-        generate_cube_stacking_demos as gen,
-    )
+    closed-loop, on every benchmark task. Each checkpoint fixture is produced
+    by scripts/task_success_experiment.py (gen -> fuse -> run_training app
+    with gripper_state_change weighting); here the seeded demo scenes are
+    rebuilt and the policy runs live mapping + diffusion against the task's
+    object-state evaluator (reference chain:
+    closed_loop/closed_loop_policy.py:242-317). Skips when a fixture has
+    not been built (see the script's docstring for the recipe). Measured
+    full-set success rates: docs/data/task_success_<task>.json."""
     from nvblox_mindmap_tpu.scripts import task_success_experiment as exp
 
-    # Rebuild the fixture's demo scenes (same seed => same cube layouts);
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "test_data", "task_success", task,
+        "last.ckpt",
+    )
+    if not os.path.exists(ckpt):
+        pytest.skip(
+            f"task-success checkpoint fixture for {task} missing; build it "
+            "with python -m nvblox_mindmap_tpu.scripts."
+            f"task_success_experiment all --task {task}"
+        )
+    # Rebuild the fixture's demo scenes (same seed => same layouts);
     # closed-loop needs only scene.json - the policy maps live, so no
     # datagen fusion pass is required here.
-    gen(str(tmp_path / "ds"), num_demos=8, seed=21,
-        cube_half=exp.CUBE_HALF)
+    exp._generator_for_task(task)(str(tmp_path / "ds"), 8, 21)
     summary = exp.closed_loop(
-        str(tmp_path), 8, ckpt, demos_subset=[0, 1, 2, 3]
+        str(tmp_path), 8, ckpt, demos_subset=[0, 1, 2, 3], task=task
     )
-    # The bar is the capability loop on the training task distribution:
-    # the policy must fully succeed (stack released, gripper open) in at
-    # least one scene and show learned manipulation (lifting) in most.
+    # The bar is the capability loop on the training task distribution: the
+    # policy must earn the task evaluator's full-semantics success in at
+    # least one scene (DDPM sampling is stochastic; the measured full-set
+    # rates live in docs/data/).
     assert summary["num_demos"] == 4
     assert summary["success_rate"] > 0, summary
-    assert summary["mean_num_lifted_cubes"] >= 0.5, summary
+    if task == "cube_stacking":
+        assert summary["mean_num_lifted_cubes"] >= 0.5, summary
