@@ -78,7 +78,7 @@ def test_rgb_feature_extractor_baseline(request):
     module = make_feature_extractor(FeatureExtractorType.RGB, (8, 8))
     rng = np.random.default_rng(42)
     rgb = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
-    params = module.init(jax.random.PRNGKey(0), rgb)
+    params = jax.jit(module.init)(jax.random.PRNGKey(0), rgb)
     out = np.asarray(module.apply(params, rgb))
     check_or_generate(request, "rgb_features", {"features": out})
 

@@ -20,6 +20,7 @@ from nvblox_mindmap_tpu.ops.attention import (
     get_default_attention_impl,
     set_default_attention_impl,
 )
+from tests.jit_helpers import jit_sample
 
 BOUNDS = np.asarray([[-0.5, -1.0, 0.0], [1.5, 1.0, 2.0]], dtype=np.float32)
 
@@ -63,13 +64,13 @@ def test_flash_swap_matches_xla_and_drops_weights(monkeypatch):
     model, batch = make_model_and_batch()
     bounds = jnp.asarray(BOUNDS)
     prepared = prepare_inputs(batch, bounds, model.config)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(1), prepared, jnp.zeros((2, 1, 1, 9)),
         jnp.zeros((2,), jnp.int32),
     )
     key = jax.random.PRNGKey(0)
 
-    traj_xla, _, w_xla = sample_trajectory(
+    traj_xla, _, w_xla = jit_sample(
         model, variables, prepared, key, bounds
     )
     assert w_xla is not None
@@ -89,7 +90,7 @@ def test_flash_swap_matches_xla_and_drops_weights(monkeypatch):
     sampler_kwargs = apply_inference_settings(convert_to_flash_attention())
     assert get_default_attention_impl() == "flash"
     assert sampler_kwargs == {}
-    traj_flash, _, w_flash = sample_trajectory(
+    traj_flash, _, w_flash = jit_sample(
         model, variables, prepared, key, bounds
     )
     assert calls["n"] > 0, "flash kernel was never traced"

@@ -11,6 +11,7 @@ from nvblox_mindmap_tpu.embodiments.humanoid import (
     PROXIMAL_JOINT_INDICES,
     HumanoidEmbodiment,
 )
+from tests.jit_helpers import jit_sample
 
 N_FRAMES = 160
 
@@ -200,12 +201,12 @@ def test_humanoid_model_train_and_sample(tmp_path):
     prepared = prepare_inputs(batch, bounds, cfg)
     noisy = jnp.zeros((2, 1, 2, 9))
     ts = jnp.zeros((2,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), prepared, noisy, ts)
     losses = diffusion_train_loss(model, variables, prepared, jax.random.PRNGKey(1))
     assert np.isfinite(float(losses["total"]))
     assert "head_yaw" in losses
 
-    traj, head_yaw, _ = sample_trajectory(
+    traj, head_yaw, _ = jit_sample(
         model, variables, prepared, jax.random.PRNGKey(2), bounds
     )
     assert traj.shape == (2, 1, 2, 8)

@@ -9,6 +9,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from tests.jit_helpers import jit_sample
+
 from nvblox_mindmap_tpu.models.diffuser_actor import (
     DiffuserActor,
     DiffuserActorConfig,
@@ -59,7 +61,7 @@ def test_overfit_single_keypose():
     prepared = prepare_inputs(batch, BOUNDS, cfg)
     noisy = jnp.zeros((B, 1, 1, 9))
     ts = jnp.zeros((B,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), prepared, noisy, ts)
     params = variables["params"]
 
     tx = optax.adam(1e-3)
@@ -86,7 +88,7 @@ def test_overfit_single_keypose():
     final_loss = float(loss)
     assert final_loss < first_loss * 0.6, (first_loss, final_loss)
 
-    traj, _, _ = sample_trajectory(
+    traj, _, _ = jit_sample(
         model, {"params": params}, prepared, jax.random.PRNGKey(2), BOUNDS,
         scheduler_kind="ddim", stochastic=False,
     )

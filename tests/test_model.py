@@ -13,6 +13,7 @@ from nvblox_mindmap_tpu.models.diffuser_actor import (
     sample_trajectory,
 )
 from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+from tests.jit_helpers import jit_sample
 
 BOUNDS = jnp.asarray([[-0.5, -1.0, 0.0], [1.5, 1.0, 2.0]])
 
@@ -75,7 +76,7 @@ def test_train_loss_finite(data_type):
     prepared = prepare_inputs(batch, BOUNDS, cfg)
     noisy = jnp.zeros((2, 1, 1, 9))
     ts = jnp.zeros((2,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), prepared, noisy, ts)
     losses = diffusion_train_loss(
         model, variables, prepared, jax.random.PRNGKey(1)
     )
@@ -91,8 +92,8 @@ def test_sample_trajectory_shapes_and_bounds():
     prepared = prepare_inputs(batch, BOUNDS, cfg)
     noisy = jnp.zeros((2, 1, 1, 9))
     ts = jnp.zeros((2,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
-    traj, head_yaw, weights = sample_trajectory(
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), prepared, noisy, ts)
+    traj, head_yaw, weights = jit_sample(
         model, variables, prepared, jax.random.PRNGKey(2), BOUNDS
     )
     assert traj.shape == (2, 1, 1, 8)
@@ -116,7 +117,7 @@ def test_gradients_flow():
     prepared = prepare_inputs(batch, BOUNDS, cfg)
     noisy = jnp.zeros((2, 1, 1, 9))
     ts = jnp.zeros((2,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), prepared, noisy, ts)
 
     def loss_fn(params):
         return diffusion_train_loss(
@@ -176,10 +177,10 @@ def test_instruction_and_lang_enhanced_path():
     prepared = prepare_inputs(batch, BOUNDS, cfg)
     noisy = jnp.zeros((2, 1, 1, 9))
     ts = jnp.zeros((2,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), prepared, noisy, ts)
     losses = diffusion_train_loss(model, variables, prepared, jax.random.PRNGKey(1))
     assert np.isfinite(float(losses["total"]))
-    traj, _, _ = sample_trajectory(
+    traj, _, _ = jit_sample(
         model, variables, prepared, jax.random.PRNGKey(2), BOUNDS
     )
     assert traj.shape == (2, 1, 1, 8)

@@ -13,6 +13,7 @@ from nvblox_mindmap_tpu.models.diffuser_actor import (
 from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
 from nvblox_mindmap_tpu.parallel.mesh import make_data_mesh
 from nvblox_mindmap_tpu.parallel.serving import make_sharded_infer_fn
+from tests.jit_helpers import jit_sample
 
 BOUNDS = np.asarray([[-0.5, -1.0, 0.0], [1.5, 1.0, 2.0]], dtype=np.float32)
 
@@ -60,7 +61,7 @@ def test_sharded_inference_matches_single_device():
 
     init_batch = {k: jnp.asarray(v)[:1] for k, v in batch.items()}
     prepared = prepare_inputs(init_batch, bounds, model.config)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(1), prepared, jnp.zeros((1, 1, 1, 9)),
         jnp.zeros((1,), jnp.int32),
     )
@@ -74,7 +75,7 @@ def test_sharded_inference_matches_single_device():
 
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
     prepared_full = prepare_inputs(jbatch, bounds, model.config)
-    traj_ref, _, w_ref = sample_trajectory(
+    traj_ref, _, w_ref = jit_sample(
         model, {"params": params}, prepared_full, key, bounds
     )
     np.testing.assert_allclose(
@@ -105,7 +106,7 @@ def test_sharded_ddim_serving_mode():
     batch = make_batch(8)
     init_batch = {k: jnp.asarray(v)[:1] for k, v in batch.items()}
     prepared = prepare_inputs(init_batch, jnp.asarray(BOUNDS), model.config)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(1), prepared, jnp.zeros((1, 1, 1, 9)),
         jnp.zeros((1,), jnp.int32),
     )

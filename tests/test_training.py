@@ -13,6 +13,7 @@ from nvblox_mindmap_tpu.training.trainer import (
     TrainerConfig,
     make_train_batch_template,
 )
+from tests.jit_helpers import jit_sample
 
 BOUNDS = np.asarray([[-0.5, -1.0, 0.0], [1.5, 1.0, 2.0]])
 
@@ -266,7 +267,7 @@ def test_eval_sampler_reduced_schedule_fully_denoises(tmp_path):
     )
     noisy = jnp.zeros((2, 1, 1, 9))
     ts = jnp.zeros((2,), dtype=jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prepared, noisy, ts)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), prepared, noisy, ts)
 
     key = jax.random.PRNGKey(7)
     traj10, _, _ = _sample_normalized(
@@ -279,7 +280,7 @@ def test_eval_sampler_reduced_schedule_fully_denoises(tmp_path):
     from nvblox_mindmap_tpu.models.diffuser_actor import sample_trajectory
     from nvblox_mindmap_tpu.models.normalization import unnormalize_trajectory
 
-    prod_traj, _, _ = sample_trajectory(
+    prod_traj, _, _ = jit_sample(
         model, variables, prepared, key, jnp.asarray(bounds),
         num_inference_steps=5, scheduler_kind="ddim", stochastic=False,
     )
