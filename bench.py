@@ -30,15 +30,9 @@ import numpy as np
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache: repeat driver runs skip the ~4-min
-    first compile of the flagship programs."""
-    import jax
+    from nvblox_mindmap_tpu.utils.system import enable_compilation_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    enable_compilation_cache()
 
 def main(data_type: str = "rgbd_and_mesh"):
     _enable_compilation_cache()
@@ -387,6 +381,9 @@ def _bench_train_step() -> tuple:
     return best, (gflops if gflops else -1.0)
 
 
+LOADER_BENCH_WORKERS = 4
+
+
 def _bench_loader_samples_per_s() -> float:
     """Input-pipeline throughput at flagship-like shapes (host-only).
 
@@ -470,7 +467,7 @@ def _bench_loader_samples_per_s() -> float:
             embodiment=ArmEmbodiment(),
             dataset_path=root,
             demos="0-1",
-            num_workers=4,
+            num_workers=LOADER_BENCH_WORKERS,
             batch_size=32,
             use_keyposes=True,
             data_type="rgbd_and_mesh",
@@ -587,6 +584,9 @@ if __name__ == "__main__":
         if train_step_ms and train_gflops and train_gflops > 0:
             tflops = train_gflops / train_step_ms  # GFLOP / ms == TFLOP/s
             mfu = 100.0 * tflops * 1e12 / 197e12
+        loader_parallelism = max(
+            1, min(LOADER_BENCH_WORKERS, os.cpu_count() or 1)
+        )
         print(
             json.dumps(
                 {
@@ -623,19 +623,22 @@ if __name__ == "__main__":
                         round(mfu, 2) if mfu else None
                     ),
                     # Host input pipeline is CPU-parallel (loader worker
-                    # pool); this box has os.cpu_count() cores, so the
-                    # honest scaling statement is per-core throughput plus
-                    # how many cores a production TPU host (dozens) needs
-                    # to saturate the measured device step.
-                    "loader_samples_per_s_per_core": (
-                        round(loader_sps / os.cpu_count(), 1)
+                    # pool). The measurement runs a fixed
+                    # LOADER_BENCH_WORKERS-worker pool; normalize by the
+                    # pool's EFFECTIVE parallelism min(workers, cores) - not
+                    # bare os.cpu_count(), which on a many-core host would
+                    # understate per-worker throughput and overstate the
+                    # workers needed to saturate the device step.
+                    "loader_samples_per_s_per_worker": (
+                        round(loader_sps / loader_parallelism, 1)
                         if loader_sps else None
                     ),
+                    "loader_bench_workers": LOADER_BENCH_WORKERS,
                     "loader_host_cores": os.cpu_count(),
-                    "loader_cores_to_saturate_train": (
+                    "loader_workers_to_saturate_train": (
                         round(
                             (32000.0 / train_step_ms)
-                            / (loader_sps / os.cpu_count()),
+                            / (loader_sps / loader_parallelism),
                             1,
                         )
                         if loader_sps and train_step_ms else None

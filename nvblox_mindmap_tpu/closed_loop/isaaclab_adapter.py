@@ -25,7 +25,10 @@ The adapter mirrors the reference's episode/step semantics
   (isaaclab_camera_handler.py:161-209).
 - ``get_object_poses`` exposes rigid-object root poses for the task
   evaluators (cube_stacking_evaluator.py:306-324).
-- ``is_success`` reads the sim success term (tasks/task_success.py).
+- ``is_success`` judges success via the task's mdp predicate
+  (``task_outcome_fn``, mirroring tasks/task_success.py:18-29); the
+  termination manager is only a fallback for un-surgeried envs, since the
+  perceptive-IL surgery clears all termination terms.
 
 The class is dependency-injected (gym env + camera handlers passed in), so
 its protocol is testable with mocks anywhere; only the
@@ -42,7 +45,7 @@ Sim-host contract (what must be installed for the factory to work):
    Isaac-Lab-API-bound scene/observation/termination definitions with no
    TPU-side behavior (SURVEY.md section 2.2 boundary). Install the reference
    ``mindmap`` package (or your own env registrations with matching ids,
-   cameras, and a 'success' termination term) alongside Isaac Lab.
+   cameras, and importable task mdp success predicates) alongside Isaac Lab.
 2. **Policy cameras come from the task env configs**, not from this adapter:
    the reference's env cfgs define the wrist/table (arm) and pov/external
    (humanoid) cameras in their scene configs; the only camera the reference
@@ -293,7 +296,75 @@ class IsaacLabEnvironment(EnvironmentBase):
             term = self.env.unwrapped.termination_manager.get_term("success")
             return bool(_to_numpy(term).reshape(-1)[0])
         except Exception:
+            # The perceptive-IL surgery clears env_cfg.terminations, so on a
+            # surgered env this fallback can NEVER find a 'success' term;
+            # success must come from success_fn (task_outcome_fn below,
+            # mirroring reference tasks/task_success.py:18-29). Warn once
+            # instead of silently reporting 0/N success forever.
+            if not getattr(self, "_warned_no_success_term", False):
+                self._warned_no_success_term = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "is_success: no success_fn and no 'success' termination "
+                    "term (the perceptive-IL cfg surgery clears terminations)"
+                    " - reporting False. Pass success_fn=task_outcome_fn(task)"
+                    " for task-semantics success."
+                )
             return False
+
+
+def task_outcome_fn(task):
+    """env -> bool task-success predicate, mirroring the reference's
+    ``get_task_outcome`` (tasks/task_success.py:18-29): success is judged by
+    calling the task's mdp predicate on the live env directly, NOT via the
+    termination manager (which the perceptive-IL surgery clears).
+
+    Deferred imports: the mdp modules live in the sim-host task package
+    (isaaclab_tasks + the reference's ``mindmap.tasks``); raises ImportError
+    with the sim-host-contract instruction when they are absent.
+    """
+    from nvblox_mindmap_tpu.embodiments.registry import Tasks
+
+    task = Tasks(task)
+    try:
+        if task == Tasks.CUBE_STACKING:
+            from isaaclab_tasks.manager_based.manipulation.stack import (
+                mdp as mdp_mod,
+            )
+
+            return lambda env: bool(_to_numpy(
+                mdp_mod.cubes_stacked(env)).reshape(-1)[0])
+        if task == Tasks.MUG_IN_DRAWER:
+            from mindmap.tasks.task_definitions.mug_in_drawer import (
+                mdp as mdp_mod,
+            )
+
+            return lambda env: bool(_to_numpy(
+                mdp_mod.object_in_drawer(env)).reshape(-1)[0])
+        if task == Tasks.DRILL_IN_BOX:
+            from mindmap.tasks.task_definitions.drill_in_box.config.gr1 import (
+                mdp as mdp_mod,
+            )
+
+            # check_hand_height=False: mindmap does not distinguish the
+            # left/right drill_in_box variants (reference task_success.py:24).
+            return lambda env: bool(_to_numpy(mdp_mod.object_in_box(
+                env, check_hand_height=False)).reshape(-1)[0])
+        if task == Tasks.STICK_IN_BIN:
+            from mindmap.tasks.task_definitions.stick_in_bin.config.gr1 import (
+                mdp as mdp_mod,
+            )
+
+            return lambda env: bool(_to_numpy(mdp_mod.object_in_drum(
+                env, check_hand_height=False)).reshape(-1)[0])
+    except ImportError as e:
+        raise ImportError(
+            f"task_outcome_fn({task}): the task mdp module is sim-host-side "
+            "(isaaclab_tasks / the reference 'mindmap' task package) and is "
+            "not installed - see the module docstring's sim-host contract."
+        ) from e
+    raise ValueError(f"No outcome check for task {task}.")
 
 
 def update_env_cfg_for_perceptive_il(
@@ -426,19 +497,34 @@ def make_isaaclab_environment(
             "sim-host-side and not vendored by this framework. Install the "
             "reference 'mindmap' package (its tasks/ module registers the "
             "four benchmark envs) or equivalent registrations with matching "
-            "ids, <name>_cam scene cameras, and a 'success' termination term."
+            "ids, <name>_cam scene cameras, and importable task mdp success "
+            "predicates (see task_outcome_fn)."
         )
+    # Only the parse_cfg import is allowed to fall back (older Isaac Lab
+    # layouts); an ImportError raised later - e.g. lazily inside gym.make -
+    # must propagate, not silently produce an un-surgeried MimicGen env
+    # (active recorders/terminations + relative-mode IK against absolute
+    # policy goals).
     try:
         from isaaclab_tasks.utils.parse_cfg import parse_env_cfg
-
+    except ImportError:
+        parse_env_cfg = None
+    if parse_env_cfg is not None:
         env_cfg = parse_env_cfg(gym_id, num_envs=1)
         env_cfg = update_env_cfg_for_perceptive_il(
             env_cfg, embodiment.embodiment_type,
             absolute_mode=absolute_mode, render_settings=render_settings,
         )
         env = gym.make(gym_id, cfg=env_cfg)
-    except ImportError:
-        # Older Isaac Lab layouts: fall back to the registered default cfg.
+    else:
+        import warnings
+
+        warnings.warn(
+            "isaaclab_tasks.utils.parse_cfg unavailable: building the env "
+            "with its registered default cfg, WITHOUT the perceptive-IL "
+            "surgery (recorders/terminations stay active; arm controller "
+            "stays in the recorded MimicGen mode)."
+        )
         env = gym.make(gym_id)
 
     # Camera handlers, reference-style (isaaclab_camera_handler.py).
@@ -455,12 +541,27 @@ def make_isaaclab_environment(
     with h5py.File(hdf5_file, "r") as f:
         initial_state = f["data"][demo_name]["initial_state"][()]
 
+    # Success via the task's mdp predicate (reference task_success.py:18-29):
+    # the surgery above cleared the termination manager, so the env's own
+    # 'success' term no longer exists.
+    try:
+        success_fn = task_outcome_fn(task)
+    except ImportError as e:
+        import warnings
+
+        warnings.warn(
+            f"task mdp predicates unavailable ({e}); is_success will fall "
+            "back to the (cleared) termination manager and report False."
+        )
+        success_fn = None
+
     return IsaacLabEnvironment(
         env, embodiment, camera_handlers,
         robot_state_fn=_default_arm_robot_state_fn
         if embodiment.embodiment_type == EmbodimentType.ARM
         else _default_humanoid_robot_state_fn,
         initial_state=initial_state,
+        success_fn=success_fn,
     )
 
 

@@ -353,7 +353,12 @@ class SceneKinematicEnvironment(KinematicEnvironment):
             xy_overlap = np.all(
                 np.abs(pose[:2] - pos[:2]) < half[:2] + other_half[:2] - 1e-6
             )
-            below = pose[2] + other_half[2] <= pos[2] + 1e-6
+            # A support is any xy-overlapping object whose top is at or below
+            # the released object's TOP (not its center): a release that
+            # interpenetrates the support would otherwise skip it and
+            # teleport through to the table, co-located with the support - a
+            # real engine resolves the overlap upward and settles on top.
+            below = pose[2] + other_half[2] <= pos[2] + half[2] + 1e-6
             if xy_overlap and below:
                 top = max(top, float(pose[2] + other_half[2]))
         return top

@@ -38,6 +38,7 @@ def fit_pca(features: np.ndarray, num_components: int = 3) -> PcaProjection:
     cov = centered.T @ centered  # (C, C)
     eigvals, eigvecs = np.linalg.eigh(cov)
     components = eigvecs[:, ::-1][:, :num_components]  # descending variance
+    eigvals_desc = eigvals[::-1][:num_components]
     if components.shape[1] < num_components:
         # eigh of the CxC covariance always yields C eigenvectors, so this
         # branch fires only when the feature dim C < num_components (not on
@@ -46,9 +47,9 @@ def fit_pca(features: np.ndarray, num_components: int = 3) -> PcaProjection:
         components = np.concatenate(
             [components, np.zeros((components.shape[0], pad))], axis=1
         )
+        eigvals_desc = np.concatenate([eigvals_desc, np.zeros(pad)])
     # Rank-deficient fits (fewer valid samples than C) produce ~0-eigenvalue
     # noise directions; zero them so they don't inject noise into the RGB.
-    eigvals_desc = eigvals[::-1][: components.shape[1]]
     tol = max(eigvals_desc[0], 0.0) * 1e-10 + 1e-30
     components = components * (eigvals_desc > tol)[None, :]
     projected = features @ components  # uncentered, like the reference

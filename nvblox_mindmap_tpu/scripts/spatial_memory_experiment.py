@@ -61,17 +61,9 @@ FIXED_CUBE1_XY = (0.62, 0.17)
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compile cache (same dir as bench.py): repeat stage
-    runs skip the minutes-long first compile through the TPU tunnel."""
-    import jax
+    from nvblox_mindmap_tpu.utils.system import enable_compilation_cache
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", "/tmp/jax_compilation_cache"
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    enable_compilation_cache()
 
 
 def panning_camera_factory(env):

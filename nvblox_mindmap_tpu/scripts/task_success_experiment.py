@@ -27,6 +27,9 @@ Training notes (measured on this chain):
 Run: python -m nvblox_mindmap_tpu.scripts.task_success_experiment all
      [--task cube_stacking] [--out /tmp/task_success] [--num_demos 8]
      [--train_iters 8000]
+
+Artifacts land under <out>/<task>/ (appended automatically), so switching
+--task never resumes from another task's demos or checkpoint.
 """
 from __future__ import annotations
 
@@ -48,17 +51,9 @@ DEFAULT_TASK = "cube_stacking"
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compile cache (same dir as bench.py): repeat stage
-    runs skip the minutes-long first compile through the TPU tunnel."""
-    import jax
+    from nvblox_mindmap_tpu.utils.system import enable_compilation_cache
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", "/tmp/jax_compilation_cache"
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    enable_compilation_cache()
 
 
 def _generator_for_task(task: str):
@@ -343,6 +338,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=21)
     args = p.parse_args(argv)
     _enable_compilation_cache()
+    # Namespace all artifacts by task: the gen-stage resume check and
+    # latest_checkpoint() would otherwise silently reuse a previous task's
+    # demos/checkpoint when --task changes under the same --out.
+    if os.path.basename(os.path.normpath(args.out)) != args.task:
+        args.out = os.path.join(args.out, args.task)
     os.makedirs(args.out, exist_ok=True)
     if args.stage in ("gen", "all"):
         gen_and_fuse(args.out, args.num_demos, args.seed, args.task)

@@ -330,6 +330,7 @@ class Trainer:
         loss_sum = 0.0
         metric_sums: Dict[str, np.ndarray] = {}
         count = 0
+        figure_logged = False
         n_devices = 1 if self.mesh is None else self.mesh.size
         for i, batch in enumerate(loader):
             if i >= n:
@@ -367,12 +368,14 @@ class Trainer:
                 )
                 losses, metrics = jax.device_get((losses, metrics))
             if (
-                i == 0
+                not figure_logged
                 and self.metric_logger is not None
                 and jax.process_index() == 0
             ):
-                # GT-vs-pred scatter on the 1st eval batch (reference
-                # run_training.py:370-372).
+                # GT-vs-pred scatter on the 1st EVALUATED batch (reference
+                # run_training.py:370-372); a flag, not `i == 0`, because the
+                # mesh-divisibility skip above can drop batch 0 entirely.
+                figure_logged = True
                 try:
                     self.metric_logger.log_trajectory_figure(
                         jax.device_get(pred_pos), jax.device_get(gt_pos),

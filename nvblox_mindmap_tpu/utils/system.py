@@ -3,6 +3,22 @@ from __future__ import annotations
 
 import os
 
+XLA_COMPILE_CACHE_DIR = "/tmp/jax_compilation_cache"
+
+
+def enable_compilation_cache(cache_dir: str = XLA_COMPILE_CACHE_DIR) -> None:
+    """Persistent XLA compilation cache shared by bench.py and the
+    experiment scripts: repeat runs skip the minutes-long first compile of
+    the flagship programs through the TPU tunnel. Must run before the first
+    jit compilation; a no-op if jax refuses the config (old versions)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
 
 def get_shmem_usage_mb(path: str = "/dev/shm") -> float:
     """Shared-memory usage in MB (loader-queue monitoring)."""

@@ -185,6 +185,41 @@ def test_object_poses_and_success():
     assert adapter.is_success() is True
 
 
+def test_success_fn_takes_priority_and_missing_term_warns(caplog):
+    """success_fn (the task mdp predicate path, reference
+    task_success.py:18-29) wins over the termination manager; a surgered env
+    with neither warns loudly instead of silently reporting False forever."""
+    import logging
+
+    env, adapter = make_adapter()
+    adapter.success_fn = lambda e: True
+    assert adapter.is_success() is True
+
+    env2, adapter2 = make_adapter()
+    del adapter2.env.unwrapped.termination_manager  # surgered: no terms
+    with caplog.at_level(logging.WARNING):
+        assert adapter2.is_success() is False
+    assert any("success_fn" in r.message for r in caplog.records)
+    # Warned once, not per step.
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        assert adapter2.is_success() is False
+    assert not caplog.records
+
+
+def test_task_outcome_fn_raises_contract_error_off_sim_host():
+    """Off the sim host the task mdp modules are absent: task_outcome_fn
+    must raise the sim-host-contract ImportError, not return a broken fn."""
+    from nvblox_mindmap_tpu.closed_loop.isaaclab_adapter import (
+        task_outcome_fn,
+    )
+
+    for task in ("cube_stacking", "mug_in_drawer", "drill_in_box",
+                 "stick_in_bin"):
+        with pytest.raises(ImportError, match="sim-host"):
+            task_outcome_fn(task)
+
+
 def test_served_adapter_over_the_bridge():
     """The adapter works end-to-end through the remote protocol."""
     from nvblox_mindmap_tpu.closed_loop.remote_env import (

@@ -61,15 +61,21 @@ _WORKER = textwrap.dedent(
         np.asarray([float(rank + 1)]),
         (2,),
     )
-    total = jax.jit(
-        lambda x: jax.lax.psum(x, "dp"),
-        in_shardings=NamedSharding(mesh, P("dp")),
-        out_shardings=NamedSharding(mesh, P()),
+    from jax import shard_map
+
+    psum_total = jax.jit(
+        shard_map(
+            lambda x: jax.lax.psum(x, "dp"),
+            mesh=mesh, in_specs=P("dp"), out_specs=P(),
+        )
     )
-    summed = np.asarray(
+    summed = np.asarray(psum_total(arr).addressable_data(0))
+    # Same answer through XLA's automatic reduction path.
+    auto_summed = np.asarray(
         jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
         .addressable_data(0)
     )
+    assert float(auto_summed) == float(summed)
 
     # Distributed sampler across REAL process boundaries (the reference's
     # spawned-gloo scenario, test_distributed_sampling.py:28-49): each

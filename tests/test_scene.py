@@ -132,6 +132,31 @@ def test_settle_on_release():
     assert abs(z - (c1[2] + 2 * env.object_half)) < 1e-6, z
 
 
+def test_settle_on_release_interpenetrating():
+    """A release that interpenetrates the support (object center BELOW the
+    support's top) settles ON the support, not through it to table level
+    co-located with the support - a real engine resolves overlap upward."""
+    env = make_cube_stacking_env(seed=1, num_cubes=2, randomize=False)
+    c1 = env.initial_objects["cube_1"][:3].copy()
+    c2 = env.initial_objects["cube_2"][:3].copy()
+
+    def go(goal, n=40):
+        for _ in range(n):
+            env.step(goal)
+
+    q = [0, 1, 0, 0]
+    go(np.concatenate([c2, q, [0.0]]).astype(np.float32))
+    go(np.concatenate([c2, q, [1.0]]).astype(np.float32), n=2)
+    c1_top = c1[2] + env.object_half
+    # Lower the held cube INTO cube_1: center 20% of a half-extent below
+    # cube_1's top, i.e. the cubes overlap in z at release time.
+    low = np.asarray([c1[0], c1[1], c1_top - 0.2 * env.object_half])
+    go(np.concatenate([low, q, [1.0]]).astype(np.float32))
+    go(np.concatenate([low, q, [0.0]]).astype(np.float32), n=1)
+    z = env.objects["cube_2"][2]
+    assert abs(z - (c1_top + env.object_half)) < 1e-6, z
+
+
 def test_scripted_expert_stacks_and_records(tmp_path):
     """One scripted demo: evaluator-confirmed success + full demo layout +
     keypose extraction finds the grasp structure."""

@@ -29,6 +29,21 @@ def test_pca_produces_unit_range_rgb():
     np.testing.assert_allclose(rgb, rgb2, atol=1e-6)
 
 
+def test_pca_low_dim_and_rank_deficient():
+    """Feature dim C < 3 zero-pads the basis (no broadcast crash), and a
+    rank-deficient fit zeros its ~0-eigenvalue noise directions."""
+    rng = np.random.default_rng(4)
+    proj = fit_pca(rng.random((10, 2)))
+    assert proj.components.shape == (2, 3)
+    assert np.all(proj.components[:, 2] == 0.0)  # padded column stays zero
+    rgb = apply_pca(rng.random((5, 2)), proj)
+    assert rgb.shape == (5, 3)
+    # 2 samples of 8-dim features: at most 1 centered direction has variance.
+    proj2 = fit_pca(rng.random((2, 8)))
+    nonzero_cols = np.any(proj2.components != 0.0, axis=0)
+    assert nonzero_cols.sum() <= 1
+
+
 def test_pca_separates_clusters():
     rng = np.random.default_rng(1)
     a = rng.normal(0, 0.1, size=(100, 16))
