@@ -22,10 +22,13 @@ RADIO_WIDTH, RADIO_DEPTH, RADIO_HEADS, RADIO_PATCH = 768, 12, 12, 16
 def make_random_vit_sd(width, depth, patch, grid, seed=0, with_cls=True):
     """Numpy-crafted timm-style state dict (no torch needed)."""
     rng = np.random.default_rng(seed)
-    # float32-native generation: the float64 normal(size=...) path allocates
-    # ~690 MB of temporaries per ViT-B layer stack and measures ~30x slower
-    # on this host (mmap churn), so keep it f32 end to end.
-    n = lambda *s: rng.standard_normal(s, dtype=np.float32) * np.float32(0.02)
+    # float32-native UNIFORM generation: the float64 normal(size=...) path
+    # allocates ~690 MB of temporaries per ViT-B layer stack (~30x slower on
+    # this host); even f32 normals cost ~8 s for the 85M-param stack, while
+    # uniform f32 is ~5x faster. Wiring tests only need deterministic,
+    # finite, non-degenerate values — distribution shape is irrelevant.
+    n = lambda *s: (rng.random(s, dtype=np.float32) - np.float32(0.5)) \
+        * np.float32(0.04)
     n_prefix = 1 if with_cls else 0
     sd = {
         "patch_embed.proj.weight": n(width, 3, patch, patch),

@@ -268,6 +268,45 @@ def test_variables_npz_roundtrip_and_graft(tmp_path):
         graft_subtree(variables, "params/missing", new)
 
 
+def test_npz_mmap_fast_path_matches_np_load(tmp_path):
+    """The ZIP_STORED zero-copy loader must be bit-exact vs np.load across
+    dtypes/shapes, and compressed archives must fall back (not fail)."""
+    from nvblox_mindmap_tpu.models.weight_conversion import (
+        _load_npz_arrays_mmap,
+        load_variables_npz,
+    )
+
+    rng = np.random.default_rng(3)
+    arrays = {
+        "f32": rng.standard_normal((7, 5)).astype(np.float32),
+        "f16": rng.standard_normal((3, 2, 4)).astype(np.float16),
+        "i32": rng.integers(-9, 9, (11,)).astype(np.int32),
+        "boolean": rng.integers(0, 2, (4, 4)).astype(bool),
+        "scalar": np.float32(2.5),
+        "empty": np.zeros((0, 3), np.float32),
+        "fortran": np.asfortranarray(rng.standard_normal((6, 4))),
+    }
+    path = str(tmp_path / "stored.npz")
+    np.savez(path, **arrays)
+
+    fast = _load_npz_arrays_mmap(path)
+    assert fast is not None, "stored npz must take the mmap fast path"
+    ref = np.load(path)
+    assert set(fast) == set(ref.files)
+    for key in ref.files:
+        np.testing.assert_array_equal(fast[key], ref[key])
+        assert fast[key].dtype == ref[key].dtype
+    assert not fast["f32"].flags.writeable  # view of a read-only mapping
+
+    # Compressed archive: fast path declines, load_variables_npz falls back.
+    cpath = str(tmp_path / "compressed.npz")
+    np.savez_compressed(cpath, **{"params/a/kernel": arrays["f32"]})
+    assert _load_npz_arrays_mmap(cpath) is None
+    nested = load_variables_npz(cpath)
+    np.testing.assert_array_equal(nested["params"]["a"]["kernel"],
+                                  arrays["f32"])
+
+
 def test_layer_scale_conversion_and_forward_effect():
     """DINOv2 LayerScale gammas (ls1/ls2) are converted and actually scale
     the residual branches (previously silently dropped)."""
