@@ -558,10 +558,22 @@ if __name__ == "__main__":
     else:
         (p50_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms,
          serving_b8_ms) = _run_in_subprocess("keypose")
-        (mesh_p50_ms, mesh_ddim_ms, mesh_pipelined_ms, _mesh_pddim,
-         _mesh_b8) = _run_in_subprocess("keypose_mesh")
-        (fusion_hz,) = _run_in_subprocess("fusion")
-        (fusion_backbone_hz,) = _run_in_subprocess("fusion_backbone")
+        # Everything past the headline keypose metric is best-effort: a
+        # ride-along measurement failing (degraded tunnel, cold cache) must
+        # never cost the driver-tracked JSON line itself.
+        try:
+            (mesh_p50_ms, mesh_ddim_ms, mesh_pipelined_ms, _mesh_pddim,
+             _mesh_b8) = _run_in_subprocess("keypose_mesh")
+        except RuntimeError:
+            mesh_p50_ms = mesh_ddim_ms = mesh_pipelined_ms = None
+        try:
+            (fusion_hz,) = _run_in_subprocess("fusion")
+        except RuntimeError:
+            fusion_hz = None
+        try:
+            (fusion_backbone_hz,) = _run_in_subprocess("fusion_backbone")
+        except RuntimeError:
+            fusion_backbone_hz = None
         # Train-step metric is best-effort: the flagship fwd+bwd program's
         # first compile can exceed the round budget on a cold cache; the
         # headline (driver-tracked) metrics must never be lost to it.
@@ -600,14 +612,27 @@ if __name__ == "__main__":
                     "serving_ddim10_b8_keyposes_per_s": round(
                         8000.0 / serving_b8_ms, 1
                     ),
-                    "mesh_only_p50_ms": round(mesh_p50_ms, 3),
-                    "mesh_only_ddim10_ms": round(mesh_ddim_ms, 3),
-                    "mesh_only_pipelined_ms": round(mesh_pipelined_ms, 3),
-                    "fusion_hz": round(fusion_hz, 1),
-                    "fusion_hz_vs_target": round(fusion_hz / 30.0, 2),
-                    "fusion_hz_with_backbone": round(fusion_backbone_hz, 1),
-                    "fusion_hz_with_backbone_vs_target": round(
-                        fusion_backbone_hz / 30.0, 2
+                    "mesh_only_p50_ms": (
+                        round(mesh_p50_ms, 3) if mesh_p50_ms else None
+                    ),
+                    "mesh_only_ddim10_ms": (
+                        round(mesh_ddim_ms, 3) if mesh_ddim_ms else None
+                    ),
+                    "mesh_only_pipelined_ms": (
+                        round(mesh_pipelined_ms, 3)
+                        if mesh_pipelined_ms else None
+                    ),
+                    "fusion_hz": round(fusion_hz, 1) if fusion_hz else None,
+                    "fusion_hz_vs_target": (
+                        round(fusion_hz / 30.0, 2) if fusion_hz else None
+                    ),
+                    "fusion_hz_with_backbone": (
+                        round(fusion_backbone_hz, 1)
+                        if fusion_backbone_hz else None
+                    ),
+                    "fusion_hz_with_backbone_vs_target": (
+                        round(fusion_backbone_hz / 30.0, 2)
+                        if fusion_backbone_hz else None
                     ),
                     "train_step_ms_b32": (
                         round(train_step_ms, 3) if train_step_ms else None

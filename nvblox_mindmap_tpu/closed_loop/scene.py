@@ -281,6 +281,10 @@ class SceneKinematicEnvironment(KinematicEnvironment):
             if head_look_z_m is not None
             else table_c[2] + np.asarray(table_half_extents)[2] + 0.03
         )
+        # Remembered for scene.json serialization: a factory-installed fn on
+        # a humanoid cannot be captured post-hoc (the default pov rig is
+        # state-dependent and is instead rebuilt from the head-rig keys).
+        self._custom_camera_fn = camera_pose_fn is not None
         if camera_pose_fn is None:
             if self._is_humanoid:
                 external_pose = look_at_pose7(

@@ -276,6 +276,20 @@ def write_scene_json(demo_dir: str, env: SceneKinematicEnvironment) -> None:
         "head_look_z_m": env.head_look_z_m,
         "max_head_yaw_step_rad": env.max_head_yaw_step_rad,
     }
+    if env._is_humanoid and getattr(env, "_custom_camera_fn", False):
+        # A factory-installed humanoid rig cannot be captured post-hoc:
+        # sampling env.camera_pose_fn(t) now would evaluate any
+        # state-dependent pose (e.g. a pov that tracks head yaw) at the
+        # FINAL state for every t, and replay would silently fall back to
+        # the default rig - a train/eval observation mismatch. Refuse
+        # loudly; record per-step poses into a step-pure schedule if a
+        # custom humanoid rig is ever needed.
+        raise ValueError(
+            "write_scene_json cannot serialize a custom humanoid camera"
+            " rig (camera_pose_fn_factory): closed-loop replay would"
+            " rebuild the default head rig and silently render different"
+            " observations than the recording"
+        )
     if not env._is_humanoid:
         # Serialize the (step-only) camera schedule so closed-loop replay
         # renders what the recording rendered - e.g. a panning camera that
@@ -529,6 +543,7 @@ def generate_mug_in_drawer_demos(
         env = make_mug_in_drawer_env(seed + d, image_size=image_size)
         if camera_pose_fn_factory is not None:
             env.camera_pose_fn = camera_pose_fn_factory(env)
+            env._custom_camera_fn = True
         goals = scripted_mug_goals(env.initial_objects)
         demo_dir = os.path.join(dataset_dir, f"demo_{d:05d}")
         evaluator = MugInDrawerEvaluator()
@@ -578,6 +593,7 @@ def generate_cube_stacking_demos(
         )
         if camera_pose_fn_factory is not None:
             env.camera_pose_fn = camera_pose_fn_factory(env)
+            env._custom_camera_fn = True
         goals = scripted_stack_goals(
             env.initial_objects, cube_half, approach_from=approach_from
         )
@@ -816,6 +832,7 @@ def _generate_humanoid_demos(
         env = make_env(seed + d, image_size=image_size)
         if camera_pose_fn_factory is not None:
             env.camera_pose_fn = camera_pose_fn_factory(env)
+            env._custom_camera_fn = True
         obj = env.initial_objects[object_name][:3]
         container = env.initial_objects[container_name][:3]
         place = np.asarray(

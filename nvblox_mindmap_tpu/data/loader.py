@@ -196,14 +196,24 @@ class DataLoader:
         import copy
 
         cloned = copy.deepcopy(self.dataset.transforms)
+        # Each transform gets an INDEPENDENT stream (distinct spawn key per
+        # transform): seeding them identically would make e.g. the vertex
+        # subsample a deterministic function of the augmentation translation,
+        # silently correlating augmentations whenever num_workers>1.
+        t_idx = 0
+        seen: set = set()
         for stack in cloned.values():
             for t in stack:
-                if hasattr(t, "_rng"):
+                # The augmentor object is shared across stacks (one coherent
+                # draw per sample) - reseed each unique OBJECT exactly once.
+                if hasattr(t, "_rng") and id(t) not in seen:
+                    seen.add(id(t))
                     t._rng = np.random.default_rng(
                         np.random.SeedSequence(
-                            [self.seed, 1 + epoch, worker_idx]
+                            [self.seed, 1 + epoch, worker_idx, t_idx]
                         )
                     )
+                    t_idx += 1
         return cloned
 
     def __len__(self) -> int:
@@ -296,28 +306,38 @@ class DataLoader:
         window, so it never blocks.
         """
         results: Dict[int, object] = {}
+        fatal: list = []  # worker-body failures outside per-batch handling
         cond = threading.Condition()
         stop = threading.Event()
         state = {"next_seq": 0}
         window = max(self.prefetch, 2) + nw
 
         def worker(w: int):
-            transforms = self._worker_transforms(w, epoch)
-            for seq in range(w, len(batches), nw):
+            # The whole body is guarded: a worker dying outside the per-batch
+            # try (transform cloning, MemoryError, ...) must surface to the
+            # consumer, not leave it waiting forever on a seq that will never
+            # be posted while sibling workers idle inside the window.
+            try:
+                transforms = self._worker_transforms(w, epoch)
+                for seq in range(w, len(batches), nw):
+                    with cond:
+                        while (
+                            not stop.is_set()
+                            and seq - state["next_seq"] >= window
+                        ):
+                            cond.wait(0.1)
+                    if stop.is_set():
+                        return
+                    try:
+                        batch = self._make_batch(batches[seq], transforms)
+                    except Exception as e:  # delivered in-order
+                        batch = e
+                    with cond:
+                        results[seq] = batch
+                        cond.notify_all()
+            except BaseException as e:
                 with cond:
-                    while (
-                        not stop.is_set()
-                        and seq - state["next_seq"] >= window
-                    ):
-                        cond.wait(0.1)
-                if stop.is_set():
-                    return
-                try:
-                    batch = self._make_batch(batches[seq], transforms)
-                except Exception as e:  # delivered in-order to the consumer
-                    batch = e
-                with cond:
-                    results[seq] = batch
+                    fatal.append(e)
                     cond.notify_all()
 
         threads = [
@@ -330,10 +350,14 @@ class DataLoader:
             for seq in range(len(batches)):
                 with cond:
                     while seq not in results:
+                        if fatal:
+                            raise fatal[0]
                         cond.wait(0.5)
                         if seq not in results and not any(
                             t.is_alive() for t in threads
                         ):
+                            if fatal:
+                                raise fatal[0]
                             raise RuntimeError(
                                 f"loader workers exited without batch {seq}"
                             )

@@ -321,11 +321,16 @@ def _load_npz_arrays_mmap(path: str) -> Optional[Dict[str, np.ndarray]]:
     seconds. Members written by np.savez are stored uncompressed, so we can
     instead mmap the archive once and expose every array as a view of the
     mapping. Returns None when any member is compressed or non-trivially
-    encoded (caller falls back to np.load).
+    encoded (caller falls back to np.load). Member CRCs are still verified
+    (zlib.crc32 runs at GB/s — negligible vs the chunked-read cost np.load
+    pays), so corrupted archives raise like np.load instead of silently
+    yielding garbage weights. Arrays are read-only views; mutate-in-place
+    callers must copy (checkpoint consumers device_put them anyway).
     """
     import io
     import mmap
     import zipfile
+    import zlib
 
     try:
         with open(path, "rb") as f:
@@ -347,6 +352,11 @@ def _load_npz_arrays_mmap(path: str) -> Optional[Dict[str, np.ndarray]]:
             extra_len = int.from_bytes(mm[h + 28:h + 30], "little")
             start = h + 30 + name_len + extra_len
             buf = memoryview(mm)[start:start + zi.file_size]
+            if zlib.crc32(buf) != zi.CRC:
+                raise ValueError(
+                    f"CRC mismatch for npz member {zi.filename!r} in {path}:"
+                    " the archive is corrupted"
+                )
             head = io.BytesIO(bytes(buf[:256]))
             version = np.lib.format.read_magic(head)
             np.lib.format._check_version(version)

@@ -401,14 +401,11 @@ def _mapping_config():
     cfg = MappingConfig.for_task(
         Tasks.CUBE_STACKING, feature_dim=3, voxel_size_m=0.02,
         max_feature_pages=512,
-    )
-    return dataclasses.replace(
-        cfg,
-        upscaled_feature_image_size=(64, 64),
-        static_mask_erosion_iterations=2,
-        valid_depth_mask_erosion_iterations=2,
-        tsdf_decay_factor=0.999,
-    )
+    ).scaled_for_image_size((64, 64))
+    # Only the decay is experiment-specific: remembered surfaces must stay
+    # alive while the camera is panned away (task default 0.98/frame is
+    # tuned for continuous re-observation).
+    return dataclasses.replace(cfg, tsdf_decay_factor=0.999)
 
 
 def mean_predictor_floor(demo_dirs: List[str]) -> float:

@@ -487,13 +487,15 @@ def test_humanoid_gripper_state_change_weights(tmp_path):
     assert len(np.unique(weights)) == 2
 
 
-def _pool_loader(demo_dataset_dir, num_workers, data_type=DataType.RGBD_AND_MESH):
+def _pool_loader(demo_dataset_dir, num_workers,
+                 data_type=DataType.RGBD_AND_MESH, **kwargs):
     loader, _ = get_data_loader_by_data_type(
         embodiment=ArmEmbodiment(),
         dataset_path=demo_dataset_dir,
         demos="0-1",
         num_workers=num_workers,
         batch_size=4,
+        **kwargs,
         use_keyposes=True,
         data_type=data_type,
         only_sample_keyposes=False,
@@ -558,3 +560,46 @@ def test_loader_pool_propagates_exceptions(demo_dataset_dir):
     loader._make_batch = failing
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_loader_pool_surfaces_worker_body_failure(demo_dataset_dir):
+    """A worker dying OUTSIDE the per-batch try (e.g. transform cloning)
+    must raise at the consumer, not hang it forever waiting on a seq that
+    will never be posted while sibling workers idle inside the window."""
+    loader = _pool_loader(demo_dataset_dir, num_workers=3)
+
+    def broken_transforms(worker_idx, epoch):
+        if worker_idx == 1:
+            raise MemoryError("worker body died")
+        return loader.dataset.transforms
+
+    loader._worker_transforms = broken_transforms
+    with pytest.raises(MemoryError, match="worker body died"):
+        list(loader)
+
+
+def test_loader_pool_transform_streams_are_independent(demo_dataset_dir):
+    """Each RNG-bearing transform in a worker clone gets its OWN stream:
+    identical seeding would make e.g. the vertex subsample a deterministic
+    function of the augmentation translation (silently correlated)."""
+    loader = _pool_loader(
+        demo_dataset_dir, num_workers=2, data_type=DataType.MESH,
+        apply_random_transforms=True,
+        random_translation_range_m=((-0.05, -0.05, 0.0), (0.05, 0.05, 0.0)),
+        random_rpy_range_deg=((0, 0, -10), (0, 0, 10)),
+    )
+    cloned = loader._worker_transforms(worker_idx=0, epoch=0)
+    rngs = []
+    seen = set()
+    for stack in cloned.values():
+        for t in stack:
+            if hasattr(t, "_rng") and id(t) not in seen:
+                seen.add(id(t))
+                rngs.append(t._rng)
+    assert len(rngs) >= 2, "need >=2 RNG transforms to test independence"
+    draws = [r.random(8) for r in rngs]
+    for i in range(len(draws)):
+        for j in range(i + 1, len(draws)):
+            assert not np.allclose(draws[i], draws[j]), (
+                f"transform streams {i} and {j} are identical"
+            )

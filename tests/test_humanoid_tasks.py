@@ -82,6 +82,20 @@ def test_pov_camera_follows_head_yaw():
     assert "external" in env.get_cameras()
 
 
+def test_custom_humanoid_camera_rig_refuses_serialization(tmp_path):
+    """A factory-installed humanoid camera rig cannot be captured post-hoc
+    (the pov pose is state-dependent); write_scene_json must refuse loudly
+    instead of letting replay silently rebuild the default rig."""
+    from nvblox_mindmap_tpu.closed_loop.scripted import write_scene_json
+
+    env = make_drill_in_box_env(seed=0, image_size=32)
+    # Simulate what every generate_* function does with a factory.
+    env.camera_pose_fn = lambda step: {"pov": env._pov_pose_from_head_yaw()}
+    env._custom_camera_fn = True
+    with pytest.raises(ValueError, match="custom humanoid camera"):
+        write_scene_json(str(tmp_path), env)
+
+
 @pytest.fixture(scope="module")
 def drill_demo(tmp_path_factory):
     out = tmp_path_factory.mktemp("drill_ds")

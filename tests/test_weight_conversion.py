@@ -306,6 +306,20 @@ def test_npz_mmap_fast_path_matches_np_load(tmp_path):
     np.testing.assert_array_equal(nested["params"]["a"]["kernel"],
                                   arrays["f32"])
 
+    # Corruption: flip a payload byte (zip structure intact). The fast path
+    # must not return garbage - CRC check declines, and the np.load fallback
+    # surfaces the corruption as an error.
+    bpath = str(tmp_path / "bitrot.npz")
+    np.savez(bpath, big=rng.standard_normal((256, 256)).astype(np.float32))
+    raw = bytearray(open(bpath, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF  # middle of the stored payload
+    open(bpath, "wb").write(bytes(raw))
+    import pytest
+
+    assert _load_npz_arrays_mmap(bpath) is None
+    with pytest.raises(Exception):
+        np.asarray(load_variables_npz(bpath)["big"])
+
 
 def test_layer_scale_conversion_and_forward_effect():
     """DINOv2 LayerScale gammas (ls1/ls2) are converted and actually scale
