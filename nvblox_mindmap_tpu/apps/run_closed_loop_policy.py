@@ -149,6 +149,7 @@ def main(argv=None, environment: str = "kinematic"):
             seed=args.seed,
             include_dynamic=args.include_dynamic,
             feature_fn=feature_fn,
+            num_prediction_samples=args.prediction_samples,
         )
 
     # Task-semantics evaluator when the environment exposes object poses

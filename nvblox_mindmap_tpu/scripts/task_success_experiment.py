@@ -277,7 +277,8 @@ def open_loop_eval(out: str, num_demos: int, checkpoint: str,
 
 def closed_loop(out: str, num_demos: int, checkpoint: str,
                 demos_subset: List[int] | None = None,
-                task: str = DEFAULT_TASK) -> Dict:
+                task: str = DEFAULT_TASK,
+                prediction_samples: int = 1) -> Dict:
     from nvblox_mindmap_tpu.closed_loop.policies import (
         NvbloxDiffuserActorPolicy,
     )
@@ -302,6 +303,7 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
             model, params, embodiment, mapping_config(task),
             np.asarray(bounds),
             num_vertices_to_sample=N_VERTICES, seed=3,
+            num_prediction_samples=prediction_samples,
         )
 
     evaluator = _evaluator_for_task(task)
@@ -336,6 +338,11 @@ def main(argv=None):
     p.add_argument("--num_demos", type=int, default=8)
     p.add_argument("--train_iters", type=int, default=8000)
     p.add_argument("--seed", type=int, default=21)
+    p.add_argument(
+        "--prediction_samples", type=int, default=1,
+        help="K>1 enables consensus goal prediction (one batched device "
+        "program per goal; policies.aggregate_trajectory_samples)",
+    )
     args = p.parse_args(argv)
     _enable_compilation_cache()
     # Namespace all artifacts by task: the gen-stage resume check and
@@ -355,7 +362,7 @@ def main(argv=None):
     if args.stage in ("closedloop", "all"):
         closed_loop(
             args.out, args.num_demos, latest_checkpoint(args.out),
-            task=args.task,
+            task=args.task, prediction_samples=args.prediction_samples,
         )
 
 

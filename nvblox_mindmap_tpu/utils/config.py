@@ -128,6 +128,11 @@ class ClosedLoopArgs:
     record_videos: bool = False
     video_size: Tuple[int, int] = (320, 320)
     gt_goals_subsampling_factor: int = 5
+    # K > 1 fuses K i.i.d. diffusion draws per goal into a consensus
+    # prediction (one batched device program; see
+    # closed_loop/policies.aggregate_trajectory_samples). Default 1 =
+    # reference parity (single stochastic DDPM draw).
+    prediction_samples: int = 1
 
 
 @dataclasses.dataclass

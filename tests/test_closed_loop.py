@@ -533,3 +533,46 @@ def test_live_policy_mesh_budget_grows_to_fit_scene():
     # Next extraction starts at the grown budget (no repeated re-extraction).
     pol._extract_mesh_growing(0)
     assert calls[-1] == 8192
+
+
+def test_aggregate_trajectory_samples_consensus():
+    """K-sample consensus (policies.aggregate_trajectory_samples): median
+    positions reject a single off-target draw, rotations come verbatim from
+    the medoid sample (stay unit quaternions), openness is a majority vote,
+    head yaw is the median. This is the variance reducer behind
+    num_prediction_samples > 1 in NvbloxDiffuserActorPolicy."""
+    from nvblox_mindmap_tpu.closed_loop.policies import (
+        aggregate_trajectory_samples,
+    )
+
+    rng = np.random.default_rng(0)
+    K, L, G = 5, 2, 1
+    base_pos = np.asarray([0.5, -0.1, 0.12])
+    traj = np.zeros((K, L, G, 8), dtype=np.float32)
+    traj[..., :3] = base_pos + rng.normal(0, 0.005, size=(K, L, G, 3))
+    # One rogue draw far off target - the exact failure mode observed in
+    # closed-loop cube stacking (scattered single DDPM place predictions).
+    traj[3, ..., :3] += np.asarray([0.15, -0.12, 0.0])
+    quat = rng.normal(size=(K, L, G, 4))
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    traj[..., 3:7] = quat
+    traj[..., 7] = np.asarray([0.9, 0.8, 0.2, 0.85, 0.7])[:, None, None]
+    head_yaw = rng.normal(0.3, 0.01, size=(K, L, 1)).astype(np.float32)
+
+    out, out_yaw = aggregate_trajectory_samples(traj, head_yaw)
+    assert out.shape == (1, L, G, 8) and out_yaw.shape == (1, L, 1)
+    # Median position ignores the rogue sample.
+    assert np.all(np.linalg.norm(out[0, ..., :3] - base_pos, axis=-1) < 0.02)
+    # Rotation is one of the input quaternions (medoid), not an average.
+    qs = out[0, ..., 3:7]
+    np.testing.assert_allclose(np.linalg.norm(qs, axis=-1), 1.0, atol=1e-5)
+    match = np.abs(np.einsum("klgq,lgq->klg", quat, qs))
+    assert np.any(np.all(match > 1 - 1e-6, axis=(1, 2)))
+    # The rogue sample (index 3) cannot be the medoid.
+    assert not np.allclose(qs, quat[3])
+    # Openness: mean of [0.9, 0.8, 0.2, 0.85, 0.7] = 0.69 -> open majority.
+    np.testing.assert_allclose(out[0, ..., 7], 0.69, atol=1e-5)
+    assert np.allclose(np.median(head_yaw, axis=0), out_yaw[0])
+    # head_yaw=None passes through.
+    out2, none_yaw = aggregate_trajectory_samples(traj, None)
+    assert none_yaw is None and out2.shape == (1, L, G, 8)
