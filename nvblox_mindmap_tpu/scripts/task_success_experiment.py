@@ -13,7 +13,10 @@ Stages are resumable (artifacts persist under --out):
     openloop   per-keypose open-loop error against the TRAINING keypose set
     closedloop closed-loop rollout + task-evaluator summary (JSON to stdout
                and <out>/closed_loop_summary.json)
-    all        everything
+    heldout    closed-loop on freshly randomized scenes (disjoint seed) —
+               the generalization protocol behind
+               docs/data/generalization_heldout_*.json
+    all        everything except heldout
 
 Training notes (measured on this chain):
   - The keypose set is part of the learning problem; open-loop eval uses the
@@ -137,11 +140,27 @@ def mapping_config(task: str = DEFAULT_TASK):
 
 
 def train(out: str, num_demos: int, iters: int,
-          task: str = DEFAULT_TASK) -> str:
+          task: str = DEFAULT_TASK,
+          apply_geometry_noise: bool = False,
+          pos_noise_stddev_m: float = 0.01,
+          rot_noise_stddev_deg: float = 0.01) -> str:
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
     log_dir = os.path.join(out, "logs")
-    train_main([
+    noise_args = []
+    if apply_geometry_noise:
+        # DART-style robustification (reference cli/args.py:84-90): Gaussian
+        # SE3 noise on the gripper HISTORY + mesh vertices, clean GT targets
+        # (data/loader.py:93-101) — trains the policy to correct back toward
+        # the expert when its own rollout history drifts off-distribution,
+        # the diagnosed cube_stacking closed-loop failure mode
+        # (docs/pages/benchmarks.md, consensus-sampling paragraph).
+        noise_args = [
+            "--apply_geometry_noise", "1",
+            "--pos_noise_stddev_m", str(pos_noise_stddev_m),
+            "--rot_noise_stddev_deg", str(rot_noise_stddev_deg),
+        ]
+    train_main(noise_args + [
         "--dataset", os.path.join(out, "ds"),
         "--task", task,
         "--data_type", "mesh",
@@ -278,7 +297,9 @@ def open_loop_eval(out: str, num_demos: int, checkpoint: str,
 def closed_loop(out: str, num_demos: int, checkpoint: str,
                 demos_subset: List[int] | None = None,
                 task: str = DEFAULT_TASK,
-                prediction_samples: int = 1) -> Dict:
+                prediction_samples: int = 1,
+                ds_subdir: str = "ds",
+                summary_name: str = "closed_loop_summary.json") -> Dict:
     from nvblox_mindmap_tpu.closed_loop.policies import (
         NvbloxDiffuserActorPolicy,
     )
@@ -289,7 +310,7 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
 
     model, params, cfg, bounds = load_model(checkpoint, task)
     embodiment = _embodiment_for_task(task)
-    ds = os.path.join(out, "ds")
+    ds = os.path.join(out, ds_subdir)
     indices = demos_subset or list(range(num_demos))
     demos = [os.path.join(ds, f"demo_{i:05d}") for i in indices]
 
@@ -323,21 +344,63 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
     )
     summary = {"task": task, **summary}
     print(json.dumps(summary, indent=2, default=str))
-    with open(os.path.join(out, "closed_loop_summary.json"), "w") as f:
+    with open(os.path.join(out, summary_name), "w") as f:
         json.dump(summary, f, indent=2, default=str)
     return summary
+
+
+HELDOUT_SEED = 1234  # disjoint from the training-scene seed (21)
+
+
+def heldout_eval(out: str, num_demos: int, checkpoint: str,
+                 task: str = DEFAULT_TASK,
+                 prediction_samples: int = 1) -> Dict:
+    """Closed-loop success on FRESHLY RANDOMIZED scenes (generalization).
+
+    The reference's closed-loop protocol replays the training demos' initial
+    states (closed_loop_policy.py:242-317); this stage instead draws object
+    placements with a disjoint generator seed and judges with the same
+    object-state evaluator and retry budget — the protocol behind the
+    docs/pages/benchmarks.md generalization table
+    (docs/data/generalization_heldout_*.json).
+
+    Scene generation reuses the scripted-expert generator (which also writes
+    an expert demo we ignore); only scene.json is needed to reset the
+    hermetic env, so the fusion pass is skipped.
+    """
+    hds = os.path.join(out, "heldout_ds")
+    expected = [
+        os.path.join(hds, f"demo_{d:05d}") for d in range(num_demos)
+    ]
+    if not all(
+        os.path.exists(os.path.join(d, "scene.json")) for d in expected
+    ):
+        _generator_for_task(task)(hds, num_demos, HELDOUT_SEED)
+    return closed_loop(
+        out, num_demos, checkpoint, task=task,
+        prediction_samples=prediction_samples, ds_subdir="heldout_ds",
+        summary_name="heldout_closed_loop_summary.json",
+    )
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("stage", choices=[
-        "gen", "train", "openloop", "closedloop", "all"])
+        "gen", "train", "openloop", "closedloop", "heldout", "all"])
     p.add_argument("--task", default=DEFAULT_TASK, choices=[
         "cube_stacking", "mug_in_drawer", "drill_in_box", "stick_in_bin"])
     p.add_argument("--out", default="/tmp/task_success")
     p.add_argument("--num_demos", type=int, default=8)
     p.add_argument("--train_iters", type=int, default=8000)
     p.add_argument("--seed", type=int, default=21)
+    p.add_argument(
+        "--apply_geometry_noise", type=int, default=0,
+        help="Train with Gaussian SE3 noise on gripper history + vertices "
+        "(GT targets stay clean) — the reference's apply_geometry_noise "
+        "(cli/args.py:84-90); counters closed-loop exposure drift",
+    )
+    p.add_argument("--pos_noise_stddev_m", type=float, default=0.01)
+    p.add_argument("--rot_noise_stddev_deg", type=float, default=0.01)
     p.add_argument(
         "--prediction_samples", type=int, default=1,
         help="K>1 enables consensus goal prediction (one batched device "
@@ -354,13 +417,21 @@ def main(argv=None):
     if args.stage in ("gen", "all"):
         gen_and_fuse(args.out, args.num_demos, args.seed, args.task)
     if args.stage in ("train", "all"):
-        train(args.out, args.num_demos, args.train_iters, args.task)
+        train(args.out, args.num_demos, args.train_iters, args.task,
+              apply_geometry_noise=bool(args.apply_geometry_noise),
+              pos_noise_stddev_m=args.pos_noise_stddev_m,
+              rot_noise_stddev_deg=args.rot_noise_stddev_deg)
     if args.stage in ("openloop", "all"):
         open_loop_eval(
             args.out, args.num_demos, latest_checkpoint(args.out), args.task
         )
     if args.stage in ("closedloop", "all"):
         closed_loop(
+            args.out, args.num_demos, latest_checkpoint(args.out),
+            task=args.task, prediction_samples=args.prediction_samples,
+        )
+    if args.stage == "heldout":
+        heldout_eval(
             args.out, args.num_demos, latest_checkpoint(args.out),
             task=args.task, prediction_samples=args.prediction_samples,
         )
