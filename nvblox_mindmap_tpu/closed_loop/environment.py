@@ -312,6 +312,25 @@ class KinematicEnvironment(EnvironmentBase):
             if slot in self._held:
                 self.objects[self._held[slot]][:3] = eef
 
+    def force_release(
+        self, slot: int = 0, position: Optional[np.ndarray] = None
+    ) -> Optional[str]:
+        """Detach the object held by gripper ``slot`` — a grasp *slip*.
+
+        Optionally teleports the released object to ``position`` (e.g. back
+        onto the table, displaced from the gripper). The jaws stay commanded
+        closed, so no grasp/release keypose event is recorded; the object is
+        simply gone from the hand — the off-nominal state recovery
+        demonstrations need (scripted.generate_cube_stacking_recovery_demos).
+        The displacement must exceed ``grasp_radius_m`` or the next
+        ``_update_grasp`` re-attaches it immediately. Returns the released
+        object's name (None if the slot held nothing).
+        """
+        name = self._held.pop(slot, None)
+        if name is not None and position is not None:
+            self.objects[name][:3] = np.asarray(position, np.float64)
+        return name
+
     def get_object_poses(self) -> Dict[str, np.ndarray]:
         return {k: v.copy() for k, v in self.objects.items()}
 

@@ -17,7 +17,7 @@ success) without a simulator.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -222,10 +222,18 @@ def record_scripted_demo(
     (the expert is deterministic; callers may assert task success separately
     with an evaluator on the same env before recording).
     """
-    embodiment = env.embodiment
     env.reset()
     rec = make_recorder(demo_dir, env)
     rec.record_frame()  # initial observation
+    _run_goals(rec, env, goals, max_steps_per_goal, settle_frames)
+    rec.writer.write_outcome(1)
+    return rec.t
+
+
+def _run_goals(rec, env, goals, max_steps_per_goal=40, settle_frames=2):
+    """Step+record ``goals`` against an already-reset env with an open
+    recorder (the body of record_scripted_demo, reusable mid-episode)."""
+    embodiment = env.embodiment
     for goal in goals:
         for _ in range(max_steps_per_goal):
             env.step(goal)
@@ -238,8 +246,6 @@ def record_scripted_demo(
         for _ in range(settle_frames):
             env.step(goal)
             rec.record_frame()
-    rec.writer.write_outcome(1)
-    return rec.t
 
 
 def write_scene_json(demo_dir: str, env: SceneKinematicEnvironment) -> None:
@@ -614,6 +620,128 @@ def generate_cube_stacking_demos(
         assert n > 10, f"demo {d} too short ({n} frames)"
         demo_dirs.append(demo_dir)
     return demo_dirs
+
+
+def generate_cube_stacking_recovery_demos(
+    dataset_dir: str,
+    num_demos: int,
+    seed: int = 0,
+    num_cubes: int = 2,
+    cube_half: float = 0.04,
+    image_size: int = 64,
+    slip_offset_range_m: Tuple[float, float] = (0.09, 0.2),
+    start_index: int = 0,
+) -> List[str]:
+    """Recovery demonstrations: a mid-transport grasp *slip*, then the expert
+    re-picks and finishes the stack.
+
+    Rationale (docs/pages/benchmarks.md, cube_stacking diagnosis): the
+    trained policy's closed-loop failures are biased *place* predictions once
+    its rollout history leaves the expert distribution; consensus sampling,
+    extra on-distribution demos, and history-noise robustification all
+    measured no better (the three probes). What the dataset lacks is
+    (off-nominal state -> corrective expert action) coverage — the DAgger
+    insight, realized here without policy rollouts: during the first
+    transport, the carried cube silently slips out of the still-closed
+    gripper (env.force_release teleports it > grasp_radius away, no jaw
+    event), the expert completes the now-empty transport (a history
+    inconsistent with the scene, exactly the drifted conditioning the policy
+    sees at eval time), then replans from observed object poses and recovers.
+    Keypose labels remain legitimate expert actions throughout.
+
+    Demos are written as demo_{start_index+i:05d}; pass start_index=N to
+    append to N standard demos (mixed dataset), and a seed disjoint from the
+    standard demos' so scenes differ.
+    """
+    from nvblox_mindmap_tpu.closed_loop.evaluators import CubeStackingEvaluator
+
+    demo_dirs = []
+    for d in range(num_demos):
+        env = make_cube_stacking_env(
+            seed + d, num_cubes=num_cubes, cube_half=cube_half,
+            image_size=image_size,
+        )
+        rng = np.random.default_rng([seed, d, 1337])
+        goals = scripted_stack_goals(env.initial_objects, cube_half)
+        assert len(goals) == 8 * (num_cubes - 1) + 1, (
+            "scripted_stack_goals layout changed; fix the phase slicing here"
+        )
+        demo_dir = os.path.join(dataset_dir, f"demo_{start_index + d:05d}")
+        evaluator = CubeStackingEvaluator(
+            num_cubes=num_cubes, cube_side_length=2.0 * cube_half
+        )
+        evaluator.start_demo(os.path.basename(demo_dir), env)
+
+        env.reset()
+        rec = make_recorder(demo_dir, env)
+        rec.record_frame()
+        # Pick phase: approach / descend / grasp / lift of the first cube.
+        _run_goals(rec, env, goals[:4])
+        # Transport with a slip partway: after 1-6 steps toward the place
+        # hover, the cube drops out of the closed gripper onto the table,
+        # displaced past grasp_radius so it cannot silently re-attach.
+        transport = goals[4]
+        for _ in range(int(rng.integers(1, 7))):
+            env.step(transport)
+            rec.record_frame()
+        held = env.force_release(
+            slot=0, position=_sample_slip_position(env, rng, cube_half,
+                                                   slip_offset_range_m)
+        )
+        assert held is not None, (
+            f"recovery demo {d}: nothing held at the slip point "
+            f"(objects: {env.get_object_poses()})"
+        )
+        # The expert finishes the now-empty transport (drifted history),
+        # then observes the scene and replans the remaining stack.
+        _run_goals(rec, env, [transport])
+        _run_goals(
+            rec, env, scripted_stack_goals(env.get_object_poses(), cube_half)
+        )
+        rec.writer.write_outcome(1)
+        write_scene_json(demo_dir, env)
+        evaluator.evaluate_step(env)
+        assert evaluator.current_success, (
+            f"recovery expert failed to re-stack in demo {d} "
+            f"(objects: {env.get_object_poses()})"
+        )
+        assert rec.t > 10, f"recovery demo {d} too short ({rec.t} frames)"
+        demo_dirs.append(demo_dir)
+    return demo_dirs
+
+
+def _sample_slip_position(
+    env: SceneKinematicEnvironment, rng, cube_half: float,
+    offset_range_m: Tuple[float, float],
+) -> np.ndarray:
+    """A table landing spot for the slipped cube: displaced from the gripper
+    by a planar offset in ``offset_range_m`` (min must exceed grasp_radius),
+    inside the spawn workspace, clear of the other cubes."""
+    lo, hi = offset_range_m
+    assert lo > env.grasp_radius_m, (
+        f"slip offset min {lo} must exceed grasp_radius {env.grasp_radius_m}"
+    )
+    eef_xy = env.get_policy_state()[:2]
+    others = [p[:3] for n, p in env.get_object_poses().items()
+              if n not in env._held.values()]
+    for _ in range(100):
+        angle = rng.uniform(0.0, 2.0 * np.pi)
+        r = rng.uniform(lo, hi)
+        xy = np.clip(
+            eef_xy + r * np.asarray([np.cos(angle), np.sin(angle)]),
+            [0.32, -0.22], [0.68, 0.22],
+        )
+        # Re-check the offset after clipping (a clip can pull the spot back
+        # under grasp_radius near the workspace edge) and keep it off the
+        # other cubes so the drop never lands an accidental stack.
+        if np.linalg.norm(xy - eef_xy) <= env.grasp_radius_m + 0.01:
+            continue
+        if all(np.linalg.norm(xy - p[:2]) > 3.0 * cube_half for p in others):
+            return np.asarray([xy[0], xy[1], cube_half])
+    raise AssertionError(
+        f"no valid slip landing spot around eef {eef_xy} "
+        f"(objects: {env.get_object_poses()})"
+    )
 
 
 # --- GR1 humanoid tasks: drill_in_box / stick_in_bin -------------------------

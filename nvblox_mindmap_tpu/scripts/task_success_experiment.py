@@ -100,16 +100,18 @@ def _evaluator_for_task(task: str):
 
 
 def gen_and_fuse(out: str, num_demos: int, seed: int,
-                 task: str = DEFAULT_TASK) -> List[str]:
+                 task: str = DEFAULT_TASK,
+                 recovery_demos: int = 0) -> List[str]:
     from nvblox_mindmap_tpu.apps.run_datagen import (
         make_mapping_feature_fn,
         process_demo,
     )
 
     ds = os.path.join(out, "ds")
+    total = num_demos + recovery_demos
     # Resume: generation + fusion are deterministic in (seed, N); skip when
     # every demo already carries a scene.json and fused meshes.
-    expected = [os.path.join(ds, f"demo_{d:05d}") for d in range(num_demos)]
+    expected = [os.path.join(ds, f"demo_{d:05d}") for d in range(total)]
     if all(
         os.path.exists(os.path.join(d, "scene.json"))
         and glob.glob(os.path.join(d, "*.nvblox_vertex_features.zst"))
@@ -117,6 +119,22 @@ def gen_and_fuse(out: str, num_demos: int, seed: int,
     ):
         return expected
     demos = _generator_for_task(task)(ds, num_demos, seed)
+    if recovery_demos:
+        # Slip-and-recover demos appended after the standard set, on scenes
+        # disjoint from it (seed offset): (off-nominal state -> corrective
+        # expert action) coverage — see
+        # closed_loop/scripted.generate_cube_stacking_recovery_demos.
+        assert task == "cube_stacking", (
+            "recovery demos are implemented for cube_stacking"
+        )
+        from nvblox_mindmap_tpu.closed_loop.scripted import (
+            generate_cube_stacking_recovery_demos,
+        )
+
+        demos += generate_cube_stacking_recovery_demos(
+            ds, recovery_demos, seed=seed + 1000, cube_half=CUBE_HALF,
+            start_index=num_demos,
+        )
     cfg = mapping_config(task)
     feature_fn = make_mapping_feature_fn(
         "rgb", cfg.upscaled_feature_image_size

@@ -201,6 +201,58 @@ def test_scripted_expert_stacks_and_records(tmp_path):
     assert np.min(np.linalg.norm(kp_pos - place, axis=1)) < 0.05
 
 
+def test_recovery_demo_slips_and_recovers(tmp_path):
+    """Recovery demonstration: a mid-transport grasp slip, then expert
+    re-pick + successful stack (generator asserts evaluator success
+    internally). The recording must show TWO grasp cycles with no jaw event
+    at the slip itself, and keypose extraction must cover pick, recovery
+    pick (a grasp away from both the original pick and the place), and
+    place."""
+    from nvblox_mindmap_tpu.closed_loop.scripted import (
+        generate_cube_stacking_recovery_demos,
+    )
+    from nvblox_mindmap_tpu.data.dataset import DemoDataset
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    (demo_dir,) = generate_cube_stacking_recovery_demos(
+        str(tmp_path), 1, seed=500
+    )
+    assert os.path.exists(os.path.join(demo_dir, "scene.json"))
+    assert int(np.load(os.path.join(demo_dir, "demo_successful.npy"))) == 1
+
+    robot_states = DemoDataset.load_robot_states(demo_dir)
+    jaw = robot_states[:, 7]
+    closed = (jaw < 0.5 * (jaw.min() + jaw.max())).astype(int)
+    assert (np.diff(closed) == 1).sum() == 2, "expected pick + recovery pick"
+    assert (np.diff(closed) == -1).sum() == 2, (
+        "expected replan-approach open + place release"
+    )
+
+    keyposes = ArmEmbodiment().extract_keypose_indices(
+        robot_states, extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=(
+            KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION
+        ),
+    )
+    kp_pos = robot_states[keyposes][:, :3]
+    import json
+
+    with open(os.path.join(demo_dir, "scene.json")) as f:
+        scene = json.load(f)
+    pick = np.asarray(scene["objects"]["cube_2"])
+    half = scene["object_half_extents"]["cube_2"][0]
+    place = np.asarray(scene["objects"]["cube_1"]) + [0, 0, 2 * half]
+    assert np.min(np.linalg.norm(kp_pos - pick, axis=1)) < 0.05
+    assert np.min(np.linalg.norm(kp_pos - place, axis=1)) < 0.05
+    # The recovery pick: a low grasp keypose away from both nominal sites.
+    low = kp_pos[kp_pos[:, 2] < 3 * half]
+    away = (np.linalg.norm(low[:, :2] - pick[:2], axis=1) > 0.06) & (
+        np.linalg.norm(low[:, :2] - place[:2], axis=1) > 0.06
+    )
+    assert away.any(), (kp_pos, pick, place)
+
+
 @pytest.mark.slow
 def test_datagen_fusion_reconstructs_cubes(tmp_path):
     """Fusing a recorded scene demo puts feature vertices on the cubes with
