@@ -312,6 +312,15 @@ class KinematicEnvironment(EnvironmentBase):
             if slot in self._held:
                 self.objects[self._held[slot]][:3] = eef
 
+    def held_object_names(self) -> List[str]:
+        """Names of objects currently attached to a gripper, in slot order.
+
+        The public view of the grasp state: generators and experts that must
+        reason about what is in hand (slip sampling, DAgger completion
+        planning) read this instead of the private ``_held`` dict.
+        """
+        return [self._held[s] for s in sorted(self._held)]
+
     def force_release(
         self, slot: int = 0, position: Optional[np.ndarray] = None
     ) -> Optional[str]:

@@ -684,13 +684,21 @@ def generate_cube_stacking_recovery_demos(
         for _ in range(int(rng.integers(1, 7))):
             env.step(transport)
             rec.record_frame()
-        held = env.force_release(
-            slot=0, position=_sample_slip_position(env, rng, cube_half,
-                                                   slip_offset_range_m)
-        )
-        assert held is not None, (
+        held_names = env.held_object_names()
+        assert held_names, (
             f"recovery demo {d}: nothing held at the slip point "
             f"(objects: {env.get_object_poses()})"
+        )
+        # Keep the landing spot away from the ORIGINAL pick xy too: keypose
+        # analysis (and tests) treat the recovery pick as a distinct site,
+        # and a landing back on the nominal pick would make the corrective
+        # re-pick indistinguishable from the first one.
+        pick_xy = env.initial_objects[held_names[0]][:2]
+        env.force_release(
+            slot=0, position=_sample_slip_position(
+                env, rng, cube_half, slip_offset_range_m,
+                avoid_xy=[pick_xy],
+            )
         )
         # The expert finishes the now-empty transport (drifted history),
         # then observes the scene and replans the remaining stack.
@@ -713,17 +721,23 @@ def generate_cube_stacking_recovery_demos(
 def _sample_slip_position(
     env: SceneKinematicEnvironment, rng, cube_half: float,
     offset_range_m: Tuple[float, float],
+    avoid_xy=None,
+    avoid_radius_m: float = 0.07,
 ) -> np.ndarray:
     """A table landing spot for the slipped cube: displaced from the gripper
     by a planar offset in ``offset_range_m`` (min must exceed grasp_radius),
-    inside the spawn workspace, clear of the other cubes."""
+    inside the spawn workspace, clear of the other cubes, and at least
+    ``avoid_radius_m`` from every xy in ``avoid_xy`` (e.g. the original pick
+    site, so the recovery pick is a structurally distinct keypose)."""
     lo, hi = offset_range_m
     assert lo > env.grasp_radius_m, (
         f"slip offset min {lo} must exceed grasp_radius {env.grasp_radius_m}"
     )
     eef_xy = env.get_policy_state()[:2]
+    held = set(env.held_object_names())
     others = [p[:3] for n, p in env.get_object_poses().items()
-              if n not in env._held.values()]
+              if n not in held]
+    avoid = [np.asarray(a, np.float64)[:2] for a in (avoid_xy or [])]
     for _ in range(100):
         angle = rng.uniform(0.0, 2.0 * np.pi)
         r = rng.uniform(lo, hi)
@@ -736,12 +750,251 @@ def _sample_slip_position(
         # other cubes so the drop never lands an accidental stack.
         if np.linalg.norm(xy - eef_xy) <= env.grasp_radius_m + 0.01:
             continue
+        if any(np.linalg.norm(xy - a) <= avoid_radius_m for a in avoid):
+            continue
         if all(np.linalg.norm(xy - p[:2]) > 3.0 * cube_half for p in others):
             return np.asarray([xy[0], xy[1], cube_half])
     raise AssertionError(
         f"no valid slip landing spot around eef {eef_xy} "
         f"(objects: {env.get_object_poses()})"
     )
+
+
+# --- on-policy corrective demonstrations (DAgger) ----------------------------
+
+
+def record_policy_prefix(
+    rec,
+    env: SceneKinematicEnvironment,
+    policy,
+    max_goals: int,
+    max_steps: int = 160,
+    max_num_steps_to_goal: int = 30,
+) -> str:
+    """Drive ``env`` with ``policy`` while recording every frame, stopping
+    BEFORE the policy can release a held object.
+
+    The goal-management loop mirrors runner.run_one_episode (goal queue,
+    reached check, per-goal timeout) so the recorded trajectory is exactly
+    what closed-loop evaluation would execute — but every env.step lands in
+    the demo recorder, and a goal that would OPEN the gripper while an object
+    is held is intercepted instead of executed (the expert takes over before
+    the policy's possibly-drifted place happens, so no policy action ever
+    becomes a release keypose label).
+
+    Returns the stop reason: 'release_intercepted' | 'goal_budget' |
+    'exhausted' | 'step_budget'.
+    """
+    from nvblox_mindmap_tpu.closed_loop.goals import add_intermediate_goals
+
+    embodiment = env.embodiment
+    goal_queue: List = []
+    current_goal = None
+    current_is_intermediate = False
+    steps_to_goal = 0
+    goals_used = 0
+    for _ in range(max_steps):
+        policy.step(env)
+        state = np.asarray(env.get_policy_state())
+        need_new_goal = current_goal is None
+        if current_goal is not None:
+            if is_goal_reached(
+                embodiment, state, current_goal,
+                is_intermediate_goal=current_is_intermediate,
+            ):
+                current_goal = None
+                steps_to_goal = 0
+                need_new_goal = not goal_queue
+            elif steps_to_goal >= max_num_steps_to_goal:
+                current_goal = None
+                steps_to_goal = 0
+                need_new_goal = not goal_queue
+        if need_new_goal and not goal_queue:
+            if goals_used >= max_goals:
+                return "goal_budget"
+            new_goals = policy.get_new_goal(env)
+            goals_used += 1
+            if not new_goals:
+                return "exhausted"
+            new_goals, flags = add_intermediate_goals(
+                embodiment, state, new_goals, None
+            )
+            goal_queue.extend(zip(new_goals, flags))
+        if current_goal is None and goal_queue:
+            current_goal, current_is_intermediate = goal_queue.pop(0)
+            steps_to_goal = 0
+        if (
+            current_goal is not None
+            and env.held_object_names()
+            and float(current_goal[7]) < 0.5
+        ):
+            return "release_intercepted"
+        env.step(current_goal)
+        rec.record_frame()
+        steps_to_goal += 1
+    return "step_budget"
+
+
+def scripted_completion_goals(
+    env: SceneKinematicEnvironment,
+    cube_half: float,
+    hover_z: float = 0.22,
+    retreat_pos=(0.4, 0.0, 0.3),
+    stacked_tol_factor: float = 0.75,
+) -> List[np.ndarray]:
+    """Expert goal sequence completing the cube stack from ANY state.
+
+    The counterpart of scripted_stack_goals for mid-episode takeover: it
+    reads the CURRENT object poses and grasp state instead of assuming the
+    initial scene. Three cases:
+      - a non-base cube is in hand -> finish the interrupted transport with
+        the correct place on the stack (the corrective action the
+        place-drift diagnosis says the dataset lacks);
+      - the base cube itself is in hand -> set it down at the current xy,
+        then replan;
+      - nothing held -> standard pick-and-place for every cube not already
+        within ``stacked_tol_factor * cube_half`` of its stack slot.
+    """
+    held = env.held_object_names()
+    poses = {
+        k: np.asarray(v[:3], np.float64)
+        for k, v in env.get_object_poses().items()
+    }
+    names = sorted(poses)
+    assert names[0] == "cube_1", f"expected cube_1..cube_N, got {names}"
+    goals: List[np.ndarray] = []
+    if held:
+        assert len(held) == 1, f"one arm, multiple held: {held}"
+        name = held[0]
+        eef = np.asarray(env.get_policy_state()[:3], np.float64)
+        if name == names[0]:
+            # The base is in hand: put it down here, then replan the stack
+            # around its new resting position.
+            down = np.asarray([eef[0], eef[1], cube_half])
+            goals += [
+                _goal(down, 1.0),                          # descend
+                _goal(down, 0.0),                          # release
+                _goal([down[0], down[1], hover_z], 0.0),   # retreat up
+            ]
+            poses[name] = down
+        else:
+            level = names.index(name)
+            base = poses[names[0]]
+            place = np.asarray(
+                [base[0], base[1], base[2] + 2.0 * cube_half * level]
+            )
+            goals += [
+                _goal([eef[0], eef[1], hover_z], 1.0),       # lift in place
+                _goal([place[0], place[1], hover_z], 1.0),   # transport
+                _goal(place, 1.0),                            # place
+                _goal(place, 0.0),                            # release
+                _goal([place[0], place[1], hover_z], 0.0),   # retreat up
+            ]
+            poses[name] = place
+    base = poses[names[0]]
+    for level, name in enumerate(names[1:], start=1):
+        target = base + np.asarray([0.0, 0.0, 2.0 * cube_half * level])
+        if np.linalg.norm(poses[name] - target) <= (
+            stacked_tol_factor * cube_half
+        ):
+            continue  # already seated on the stack
+        pick = poses[name]
+        goals += [
+            _goal([pick[0], pick[1], hover_z], 0.0),       # approach
+            _goal(pick, 0.0),                              # descend
+            _goal(pick, 1.0),                              # grasp
+            _goal([pick[0], pick[1], hover_z], 1.0),       # lift
+            _goal([target[0], target[1], hover_z], 1.0),   # transport
+            _goal(target, 1.0),                             # place
+            _goal(target, 0.0),                             # release
+            _goal([target[0], target[1], hover_z], 0.0),   # retreat up
+        ]
+    goals.append(_goal(retreat_pos, 0.0))
+    return goals
+
+
+def generate_cube_stacking_dagger_demos(
+    dataset_dir: str,
+    num_demos: int,
+    make_policy: Callable[[], object],
+    seed: int = 0,
+    num_cubes: int = 2,
+    cube_half: float = 0.04,
+    image_size: int = 64,
+    start_index: int = 0,
+    policy_goal_budget_range: Tuple[int, int] = (3, 10),
+    max_policy_steps: int = 160,
+    max_num_steps_to_goal: int = 30,
+) -> Tuple[List[str], List[Dict]]:
+    """On-policy corrective demonstrations: the TRAINED policy drives, the
+    scripted expert takes over and finishes (HG-DAgger).
+
+    This is the capability the place-drift diagnosis calls for
+    (docs/pages/benchmarks.md): the recorded gripper history is the policy's
+    OWN rollout — including whatever drift it accumulates — and the keypose
+    labels after takeover are the expert's corrective actions computed from
+    the observed object poses (scripted_completion_goals). The policy phase
+    ends at a randomized goal budget (covering post-pick / post-lift /
+    mid-transport states) or the moment the policy tries to release a held
+    cube, whichever first, so no policy action is ever a release label. This
+    realizes, without teleoperation, the coverage the reference buys with
+    100-130 human demos per task (model_cards/model_overview.md:114).
+
+    ``make_policy``: zero-arg factory returning a fresh PolicyBase per demo
+    (fresh mapper state). Demos are written as demo_{start_index+i:05d} on
+    scenes seeded ``seed + i`` — pass a seed range disjoint from the training
+    scenes (these rollouts are harvest scenes, not eval scenes).
+
+    Returns (demo_dirs, per-demo rollout stats).
+    """
+    from nvblox_mindmap_tpu.closed_loop.evaluators import CubeStackingEvaluator
+
+    assert num_cubes == 2, (
+        "dagger completion planning is validated for 2-cube scenes"
+    )
+    demo_dirs, stats = [], []
+    for d in range(num_demos):
+        env = make_cube_stacking_env(
+            seed + d, num_cubes=num_cubes, cube_half=cube_half,
+            image_size=image_size,
+        )
+        rng = np.random.default_rng([seed, d, 97])
+        policy = make_policy()
+        demo_dir = os.path.join(dataset_dir, f"demo_{start_index + d:05d}")
+        evaluator = CubeStackingEvaluator(
+            num_cubes=num_cubes, cube_side_length=2.0 * cube_half
+        )
+        evaluator.start_demo(os.path.basename(demo_dir), env)
+
+        env.reset()
+        rec = make_recorder(demo_dir, env)
+        rec.record_frame()
+        budget = int(rng.integers(*policy_goal_budget_range))
+        reason = record_policy_prefix(
+            rec, env, policy, max_goals=budget, max_steps=max_policy_steps,
+            max_num_steps_to_goal=max_num_steps_to_goal,
+        )
+        prefix_frames = rec.t
+        held_at_takeover = list(env.held_object_names())
+        _run_goals(rec, env, scripted_completion_goals(env, cube_half))
+        rec.writer.write_outcome(1)
+        write_scene_json(demo_dir, env)
+        evaluator.evaluate_step(env)
+        assert evaluator.current_success, (
+            f"expert completion failed in dagger demo {d} after takeover "
+            f"'{reason}' (objects: {env.get_object_poses()})"
+        )
+        assert rec.t > 10, f"dagger demo {d} too short ({rec.t} frames)"
+        stats.append({
+            "demo": os.path.basename(demo_dir),
+            "stop_reason": reason,
+            "policy_goal_budget": budget,
+            "policy_frames": prefix_frames,
+            "total_frames": rec.t,
+            "held_at_takeover": held_at_takeover,
+        })
+        demo_dirs.append(demo_dir)
+    return demo_dirs, stats
 
 
 # --- GR1 humanoid tasks: drill_in_box / stick_in_bin -------------------------

@@ -9,7 +9,12 @@ evaluator judging success.
 
 Stages are resumable (artifacts persist under --out):
     gen        record + fuse N scripted demos for --task
+               (+ --recovery_demos slip-and-recover expert demos)
+    dagger     roll out the TRAINED policy on fresh scenes, expert takes
+               over mid-episode; harvest + fuse --dagger_demos on-policy
+               corrective demos (run after an initial 'train')
     train      train the diffusion policy with the production task defaults
+               (include appended demos via --recovery_demos/--dagger_demos)
     openloop   per-keypose open-loop error against the TRAINING keypose set
     closedloop closed-loop rollout + task-evaluator summary (JSON to stdout
                and <out>/closed_loop_summary.json)
@@ -157,11 +162,100 @@ def mapping_config(task: str = DEFAULT_TASK):
     return cfg
 
 
+DAGGER_SEED_OFFSET = 5000  # harvest scenes disjoint from train AND heldout
+
+
+def dagger_gen(out: str, num_demos: int, checkpoint: str,
+               dagger_demos: int, seed: int,
+               task: str = DEFAULT_TASK,
+               recovery_demos: int = 0) -> List[str]:
+    """Harvest on-policy corrective demos (the trained policy drives, the
+    scripted expert takes over) and fuse them into the dataset.
+
+    Demos land at indices [num_demos + recovery_demos, ... + dagger_demos)
+    so a subsequent ``train --dagger_demos N`` picks them up via the widened
+    --demos_train range. Rollout scenes use seed + DAGGER_SEED_OFFSET —
+    disjoint from the training scenes (the policy must drift on states IT
+    visits, not memorize the eval scenes) and from HELDOUT_SEED.
+    """
+    assert task == "cube_stacking", (
+        "dagger harvesting is implemented for cube_stacking (the one task "
+        "below the pack; docs/pages/benchmarks.md diagnosis)"
+    )
+    from nvblox_mindmap_tpu.apps.run_datagen import (
+        make_mapping_feature_fn,
+        process_demo,
+    )
+    from nvblox_mindmap_tpu.closed_loop.policies import (
+        NvbloxDiffuserActorPolicy,
+    )
+    from nvblox_mindmap_tpu.closed_loop.scripted import (
+        generate_cube_stacking_dagger_demos,
+    )
+
+    harvest_seed = seed + DAGGER_SEED_OFFSET
+    _assert_disjoint_seed_ranges(
+        (seed, num_demos), (HELDOUT_SEED, num_demos),
+        (harvest_seed, dagger_demos),
+    )
+    ds = os.path.join(out, "ds")
+    start = num_demos + recovery_demos
+    expected = [
+        os.path.join(ds, f"demo_{start + i:05d}")
+        for i in range(dagger_demos)
+    ]
+    if all(
+        os.path.exists(os.path.join(d, "scene.json"))
+        and glob.glob(os.path.join(d, "*.nvblox_vertex_features.zst"))
+        for d in expected
+    ):
+        return expected
+    model, params, _, bounds = load_model(checkpoint, task)
+    embodiment = _embodiment_for_task(task)
+    cfg = mapping_config(task)
+
+    def make_policy():
+        return NvbloxDiffuserActorPolicy(
+            model, params, embodiment, cfg, np.asarray(bounds),
+            num_vertices_to_sample=N_VERTICES, seed=7,
+        )
+
+    demos, stats = generate_cube_stacking_dagger_demos(
+        ds, dagger_demos, make_policy, seed=harvest_seed,
+        cube_half=CUBE_HALF, start_index=start,
+    )
+    with open(os.path.join(out, "dagger_rollout_stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats, indent=2))
+    feature_fn = make_mapping_feature_fn(
+        "rgb", cfg.upscaled_feature_image_size
+    )
+    for d in demos:
+        process_demo(d, embodiment, cfg, feature_fn)
+    return demos
+
+
+def _assert_disjoint_seed_ranges(*ranges: Tuple[int, int]) -> None:
+    """Each (start, n) scene-seed range must not overlap any other — an
+    overlap silently evaluates on training (or harvest) scenes and inflates
+    the generalization metric."""
+    spans = [(s, s + max(n, 1)) for s, n in ranges]
+    for i, (a0, a1) in enumerate(spans):
+        for b0, b1 in spans[i + 1:]:
+            assert a1 <= b0 or b1 <= a0, (
+                f"scene-seed ranges overlap: {spans} — pick a --seed so "
+                f"train/heldout/dagger scene seeds are disjoint"
+            )
+
+
 def train(out: str, num_demos: int, iters: int,
           task: str = DEFAULT_TASK,
           apply_geometry_noise: bool = False,
           pos_noise_stddev_m: float = 0.01,
-          rot_noise_stddev_deg: float = 0.01) -> str:
+          rot_noise_stddev_deg: float = 0.01,
+          extra_demos: int = 0) -> str:
+    """``extra_demos``: appended recovery/dagger demos (indices >= num_demos)
+    to include in --demos_train — the mixed expert+corrective dataset."""
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
     log_dir = os.path.join(out, "logs")
@@ -183,7 +277,7 @@ def train(out: str, num_demos: int, iters: int,
         "--task", task,
         "--data_type", "mesh",
         "--feature_type", "rgb",
-        "--demos_train", f"0-{num_demos - 1}",
+        "--demos_train", f"0-{num_demos + extra_demos - 1}",
         "--demos_valset", "0",
         "--embedding_dim", str(EMB),
         "--diffusion_timesteps", str(TIMESTEPS),
@@ -372,7 +466,8 @@ HELDOUT_SEED = 1234  # disjoint from the training-scene seed (21)
 
 def heldout_eval(out: str, num_demos: int, checkpoint: str,
                  task: str = DEFAULT_TASK,
-                 prediction_samples: int = 1) -> Dict:
+                 prediction_samples: int = 1,
+                 train_seed: int = 21) -> Dict:
     """Closed-loop success on FRESHLY RANDOMIZED scenes (generalization).
 
     The reference's closed-loop protocol replays the training demos' initial
@@ -386,6 +481,9 @@ def heldout_eval(out: str, num_demos: int, checkpoint: str,
     an expert demo we ignore); only scene.json is needed to reset the
     hermetic env, so the fusion pass is skipped.
     """
+    _assert_disjoint_seed_ranges(
+        (train_seed, num_demos), (HELDOUT_SEED, num_demos)
+    )
     hds = os.path.join(out, "heldout_ds")
     expected = [
         os.path.join(hds, f"demo_{d:05d}") for d in range(num_demos)
@@ -404,7 +502,8 @@ def heldout_eval(out: str, num_demos: int, checkpoint: str,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("stage", choices=[
-        "gen", "train", "openloop", "closedloop", "heldout", "all"])
+        "gen", "dagger", "train", "openloop", "closedloop", "heldout",
+        "all"])
     p.add_argument("--task", default=DEFAULT_TASK, choices=[
         "cube_stacking", "mug_in_drawer", "drill_in_box", "stick_in_bin"])
     p.add_argument("--out", default="/tmp/task_success")
@@ -424,6 +523,19 @@ def main(argv=None):
         help="K>1 enables consensus goal prediction (one batched device "
         "program per goal; policies.aggregate_trajectory_samples)",
     )
+    p.add_argument(
+        "--recovery_demos", type=int, default=0,
+        help="slip-and-recover expert demos appended after the standard set "
+        "(gen stage) and included in training (train stage) — "
+        "scripted.generate_cube_stacking_recovery_demos",
+    )
+    p.add_argument(
+        "--dagger_demos", type=int, default=0,
+        help="on-policy corrective demos harvested by the 'dagger' stage "
+        "(trained policy drives, expert takes over; "
+        "scripted.generate_cube_stacking_dagger_demos) and included in "
+        "training by the 'train' stage",
+    )
     args = p.parse_args(argv)
     _enable_compilation_cache()
     # Namespace all artifacts by task: the gen-stage resume check and
@@ -433,12 +545,20 @@ def main(argv=None):
         args.out = os.path.join(args.out, args.task)
     os.makedirs(args.out, exist_ok=True)
     if args.stage in ("gen", "all"):
-        gen_and_fuse(args.out, args.num_demos, args.seed, args.task)
+        gen_and_fuse(args.out, args.num_demos, args.seed, args.task,
+                     recovery_demos=args.recovery_demos)
+    if args.stage == "dagger":
+        # Harvest with the CURRENT checkpoint (the pre-dagger policy) before
+        # any mixed retrain overwrites latest_checkpoint's pick.
+        dagger_gen(args.out, args.num_demos, latest_checkpoint(args.out),
+                   args.dagger_demos, args.seed, task=args.task,
+                   recovery_demos=args.recovery_demos)
     if args.stage in ("train", "all"):
         train(args.out, args.num_demos, args.train_iters, args.task,
               apply_geometry_noise=bool(args.apply_geometry_noise),
               pos_noise_stddev_m=args.pos_noise_stddev_m,
-              rot_noise_stddev_deg=args.rot_noise_stddev_deg)
+              rot_noise_stddev_deg=args.rot_noise_stddev_deg,
+              extra_demos=args.recovery_demos + args.dagger_demos)
     if args.stage in ("openloop", "all"):
         open_loop_eval(
             args.out, args.num_demos, latest_checkpoint(args.out), args.task
@@ -452,6 +572,7 @@ def main(argv=None):
         heldout_eval(
             args.out, args.num_demos, latest_checkpoint(args.out),
             task=args.task, prediction_samples=args.prediction_samples,
+            train_seed=args.seed,
         )
 
 

@@ -246,6 +246,10 @@ def test_recovery_demo_slips_and_recovers(tmp_path):
     assert np.min(np.linalg.norm(kp_pos - pick, axis=1)) < 0.05
     assert np.min(np.linalg.norm(kp_pos - place, axis=1)) < 0.05
     # The recovery pick: a low grasp keypose away from both nominal sites.
+    # Structurally guaranteed (not seed luck): _sample_slip_position keeps
+    # the landing > 0.07 m from the original pick xy (avoid_xy) and
+    # > 3*cube_half from every other cube incl. cube_1 (whose xy is the
+    # place xy).
     low = kp_pos[kp_pos[:, 2] < 3 * half]
     away = (np.linalg.norm(low[:, :2] - pick[:2], axis=1) > 0.06) & (
         np.linalg.norm(low[:, :2] - place[:2], axis=1) > 0.06
