@@ -137,6 +137,13 @@ class ClipResNet50Fpn(nn.Module):
 
     feature_image_size: Tuple[int, int] = (32, 32)
     out_channels: int = 120
+    # Reference semantics: the CLIP trunk is always frozen (torch.no_grad()
+    # in feature_extraction.py) while the FPN trains when no pretrained FPN
+    # checkpoint is given. stop_gradient at the trunk/FPN boundary prunes
+    # the ResNet backward pass from the compiled train step; the optimizer's
+    # trainable_mask (training/optimizer.py:frozen_feature_extractor_mask)
+    # keeps masking updates as belt-and-suspenders.
+    freeze_backbone: bool = True
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -148,5 +155,7 @@ class ClipResNet50Fpn(nn.Module):
         B, _, _, C = x.shape
         x = jax.image.resize(x, (B, in_size[0], in_size[1], C), method="bilinear")
         feats = ModifiedResNetFeatures(name="backbone")(x)
+        if self.freeze_backbone:
+            feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         fpn_out = FeaturePyramidNetwork(self.out_channels, name="fpn")(feats)
         return fpn_out[2]  # res3

@@ -105,6 +105,13 @@ class VitFeatureExtractor(nn.Module):
     # weights silently scale every residual branch by 1 instead of the
     # trained value. RADIO/timm ViTs have no layer scale.
     use_layer_scale: bool = False
+    # The reference runs every pretrained backbone under torch.no_grad()
+    # (feature_extraction.py freezes all extractor weights); the XLA
+    # equivalent is stop_gradient on the output, which prunes the entire
+    # backward ViT pass (and its activation residency) from the compiled
+    # train step at trace time — the optimizer's trainable_mask alone would
+    # still pay for computing the discarded gradients.
+    freeze_backbone: bool = True
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -168,7 +175,10 @@ class VitFeatureExtractor(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
         if self.num_prefix_tokens > 0:
             x = x[:, self.num_prefix_tokens:, :]
-        return x.reshape(B, h, w, self.width).astype(jnp.float32)
+        x = x.reshape(B, h, w, self.width).astype(jnp.float32)
+        if self.freeze_backbone:
+            x = jax.lax.stop_gradient(x)
+        return x
 
 
 def make_feature_extractor(

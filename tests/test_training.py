@@ -193,6 +193,47 @@ def test_feature_extractor_frozen_in_training(tmp_path, monkeypatch):
     assert np.isfinite(head_before).all()
 
 
+def test_frozen_backbone_backward_pass_is_pruned():
+    """The frozen backbone contributes ZERO gradient — not just masked
+    updates: stop_gradient at the extractor output (ViT) / trunk-FPN
+    boundary (CLIP) prunes the backward pass from the compiled step, the
+    XLA equivalent of the reference's torch.no_grad() extractor
+    (reference feature_extraction.py). The CLIP FPN must keep training."""
+    from nvblox_mindmap_tpu.models.clip_resnet_fpn import ClipResNet50Fpn
+    from nvblox_mindmap_tpu.models.feature_extractors import (
+        VitFeatureExtractor,
+    )
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+
+    vit = VitFeatureExtractor(
+        patch_size=4, width=16, depth=1, num_heads=2,
+        feature_image_size=(4, 4), num_prefix_tokens=1,
+    )
+    params = jax.jit(vit.init)(jax.random.PRNGKey(0), rgb)["params"]
+    grads = jax.grad(
+        lambda p: jnp.sum(vit.apply({"params": p}, rgb) ** 2)
+    )(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+    # feature size 4 -> 32x32 trunk input, so the deepest ResNet level
+    # (stride 32) is still 1x1 and the FPN has no empty pyramid level.
+    clip = ClipResNet50Fpn(feature_image_size=(4, 4), out_channels=8)
+    params = jax.jit(clip.init)(jax.random.PRNGKey(0), rgb)["params"]
+    grads = jax.grad(
+        lambda p: jnp.sum(clip.apply({"params": p}, rgb) ** 2)
+    )(params)
+    for leaf in jax.tree_util.tree_leaves(grads["backbone"]):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+    fpn_norms = [
+        float(jnp.abs(leaf).sum())
+        for leaf in jax.tree_util.tree_leaves(grads["fpn"])
+    ]
+    assert sum(fpn_norms) > 0.0, "FPN must stay trainable"
+
+
 def test_frozen_mask_shapes():
     from nvblox_mindmap_tpu.training.optimizer import (
         frozen_feature_extractor_mask,
