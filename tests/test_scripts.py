@@ -179,3 +179,38 @@ def test_video_from_depth(tmp_path):
         assert len(frames) == 5
         img = imageio.imread(frames[0])
         assert img.shape == (32, 32, 3)
+
+
+def test_bench_table_matches_committed_json():
+    """docs/pages/benchmarks.md's headline table is GENERATED from
+    docs/data/bench_latest.json; hand-copied numbers rot (round-3 verdict:
+    83 ms in the table vs 71.7 ms measured), so the suite pins
+    table == render(JSON)."""
+    from nvblox_mindmap_tpu.scripts.render_bench_table import main
+
+    assert main(["--check"]) == 0
+
+
+def test_bench_table_renders_all_layouts():
+    """The renderer handles both the pre-round-4 JSON layout (mesh-only
+    train number) and the current one (flagship + scaling sweep)."""
+    from nvblox_mindmap_tpu.scripts import render_bench_table as rbt
+
+    old = {"value": 71.7, "vs_baseline": 1.4, "train_step_ms_b32": 139.9,
+           "train_samples_per_s": 228.8}
+    assert "mesh flagship" in rbt.render(old)
+    new = {"value": 70.0, "vs_baseline": 1.43,
+           "train_step_ms_b32_flagship": 250.0, "train_samples_per_s": 128.0,
+           "train_step_tflops_per_s": 12.0,
+           "train_mfu_pct_vs_v5e_bf16_peak": 6.1,
+           "train_step_ms_b32_mesh": 140.0,
+           "train_batch_scaling": {"64": {"step_ms": 400.0,
+                                          "samples_per_s": 160.0}}}
+    out = rbt.render(new)
+    assert "rgbd_and_mesh flagship" in out and "| 64 |" in out
+    # Marker replacement is idempotent and preserves surrounding text.
+    md = "intro\n" + rbt.BEGIN + "\nstale\n" + rbt.END + "\noutro"
+    applied = rbt.apply(md, out)
+    assert applied.startswith("intro\n") and applied.endswith("\noutro")
+    assert "stale" not in applied
+    assert rbt.apply(applied, out) == applied
