@@ -158,6 +158,19 @@ def main(argv=None):
         )
 
     train_loader, _, val_loader = build_loaders(args, embodiment)
+    if args.packed_dataset:
+        from nvblox_mindmap_tpu.data.packed import PackedDeviceLoader
+
+        # Chip-fed mode: the train feed is a device-staged packed epoch
+        # (one upload, then per-step HBM slices); validation keeps the
+        # streaming loader (it runs rarely and needs drop_last=False).
+        train_loader = PackedDeviceLoader(
+            args.packed_dataset, seed=args.seed
+        )
+        logger.info(
+            "packed train feed: %d batches staged on device from %s",
+            len(train_loader), args.packed_dataset,
+        )
     trainer = Trainer(
         model_config, trainer_config, bounds, metric_logger=metric_logger,
         backbone_weights=args.backbone_weights,

@@ -320,7 +320,14 @@ def prepare_inputs(
         out["pcds"] = pcds
         valid = batch.get("pcd_valid_mask")
         out["pcd_valid_mask"] = in_bounds if valid is None else (valid & in_bounds)
-        out["rgbs"] = batch.get("rgbs")
+        rgbs = batch.get("rgbs")
+        if rgbs is not None and rgbs.dtype == jnp.uint8:
+            # Packed-epoch feeds keep rgb uint8 through HBM staging
+            # (data/packed.py) - 4x less transfer/residency; the /255
+            # upcast runs device-side inside the compiled step (the exact
+            # inverse of the loader's RgbTransformer quantization).
+            rgbs = rgbs.astype(jnp.float32) / 255.0
+        out["rgbs"] = rgbs
 
     if batch.get("vertices") is not None:
         out["vertices"], _ = normalize_pos(batch["vertices"], workspace_bounds)

@@ -43,7 +43,12 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     def put(x):
         if x is None:
             return None
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            # Host arrays copy in; device arrays (e.g. packed-epoch HBM
+            # slices, data/packed.py) must NOT round-trip through
+            # np.asarray - device_put reshards in place (a no-op when the
+            # sharding already matches).
+            x = np.asarray(x)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch, is_leaf=lambda x: x is None)

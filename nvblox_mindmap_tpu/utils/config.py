@@ -174,6 +174,12 @@ class TrainingAppArgs(ModelArgs, SystemArgs, DataGenArgs):
     checkpoint_backend: str = "msgpack"  # or "orbax" (async writes)
     demos_train: str = "0"
     demos_valset: Optional[str] = None
+    # Packed-epoch directory (data/packed.py, written by
+    # scripts/pack_dataset.py): train from HBM-staged precomputed batches
+    # instead of the streaming loader — the chip-fed mode for hosts whose
+    # CPU or transfer link cannot keep up with the device step rate.
+    # Validation still streams from --dataset.
+    packed_dataset: Optional[str] = None
     include_failed_demos: bool = False
     exp_name: str = "mindmap-tpu Training"
     num_workers: int = 0
