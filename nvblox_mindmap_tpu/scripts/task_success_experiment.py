@@ -411,7 +411,15 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
                 task: str = DEFAULT_TASK,
                 prediction_samples: int = 1,
                 ds_subdir: str = "ds",
-                summary_name: str = "closed_loop_summary.json") -> Dict:
+                summary_name: str = "closed_loop_summary.json",
+                num_inference_steps: int | None = None,
+                scheduler: str = "ddpm") -> Dict:
+    """``scheduler``/``num_inference_steps`` select the reverse-diffusion
+    sampler: defaults reproduce the reference's closed-loop protocol (full
+    stochastic DDPM at the training timestep count); ``--scheduler ddim
+    --num_inference_steps 10`` is the production serving mode the reference
+    ships DDPM->DDIM conversion for (reference diffuser_actor/converter.py:51+)
+    and must be validated closed-loop, not just on latency."""
     from nvblox_mindmap_tpu.closed_loop.policies import (
         NvbloxDiffuserActorPolicy,
     )
@@ -437,6 +445,12 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
             np.asarray(bounds),
             num_vertices_to_sample=N_VERTICES, seed=3,
             num_prediction_samples=prediction_samples,
+            num_inference_steps=num_inference_steps,
+            scheduler_kind=scheduler,
+            # DDIM's deterministic (eta=0) variant is the serving config
+            # benchmarked in bench.py; DDPM keeps the reference's
+            # stochastic sampling.
+            stochastic_sampling=(scheduler == "ddpm"),
         )
 
     evaluator = _evaluator_for_task(task)
@@ -467,7 +481,9 @@ HELDOUT_SEED = 1234  # disjoint from the training-scene seed (21)
 def heldout_eval(out: str, num_demos: int, checkpoint: str,
                  task: str = DEFAULT_TASK,
                  prediction_samples: int = 1,
-                 train_seed: int = 21) -> Dict:
+                 train_seed: int = 21,
+                 num_inference_steps: int | None = None,
+                 scheduler: str = "ddpm") -> Dict:
     """Closed-loop success on FRESHLY RANDOMIZED scenes (generalization).
 
     The reference's closed-loop protocol replays the training demos' initial
@@ -492,10 +508,12 @@ def heldout_eval(out: str, num_demos: int, checkpoint: str,
         os.path.exists(os.path.join(d, "scene.json")) for d in expected
     ):
         _generator_for_task(task)(hds, num_demos, HELDOUT_SEED)
+    suffix = "" if scheduler == "ddpm" else f"_{scheduler}"
     return closed_loop(
         out, num_demos, checkpoint, task=task,
         prediction_samples=prediction_samples, ds_subdir="heldout_ds",
-        summary_name="heldout_closed_loop_summary.json",
+        summary_name=f"heldout_closed_loop_summary{suffix}.json",
+        num_inference_steps=num_inference_steps, scheduler=scheduler,
     )
 
 
@@ -536,6 +554,18 @@ def main(argv=None):
         "scripted.generate_cube_stacking_dagger_demos) and included in "
         "training by the 'train' stage",
     )
+    p.add_argument(
+        "--scheduler", default="ddpm", choices=["ddpm", "ddim"],
+        help="reverse-diffusion sampler for closedloop/heldout: ddpm "
+        "(reference protocol, stochastic, training timestep count) or ddim "
+        "(production serving mode; pair with --num_inference_steps 10)",
+    )
+    p.add_argument(
+        "--num_inference_steps", type=int, default=0,
+        help="denoising steps for closedloop/heldout (0 = the training "
+        "timestep count); the serving config is --scheduler ddim "
+        "--num_inference_steps 10",
+    )
     args = p.parse_args(argv)
     _enable_compilation_cache()
     # Namespace all artifacts by task: the gen-stage resume check and
@@ -563,16 +593,21 @@ def main(argv=None):
         open_loop_eval(
             args.out, args.num_demos, latest_checkpoint(args.out), args.task
         )
+    steps = args.num_inference_steps or None
     if args.stage in ("closedloop", "all"):
+        suffix = "" if args.scheduler == "ddpm" else f"_{args.scheduler}"
         closed_loop(
             args.out, args.num_demos, latest_checkpoint(args.out),
             task=args.task, prediction_samples=args.prediction_samples,
+            summary_name=f"closed_loop_summary{suffix}.json",
+            num_inference_steps=steps, scheduler=args.scheduler,
         )
     if args.stage == "heldout":
         heldout_eval(
             args.out, args.num_demos, latest_checkpoint(args.out),
             task=args.task, prediction_samples=args.prediction_samples,
             train_seed=args.seed,
+            num_inference_steps=steps, scheduler=args.scheduler,
         )
 
 

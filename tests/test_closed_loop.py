@@ -1,4 +1,6 @@
 """Closed-loop stack: goals, GT policy on a kinematic env, live policy smoke."""
+import copy
+
 import numpy as np
 import pytest
 
@@ -190,6 +192,81 @@ def test_live_policy_smoke():
     assert np.all(np.isfinite(g))
     # Prediction lies in the workspace bounds.
     assert np.all(g[:3] >= bounds[0] - 1e-3) and np.all(g[:3] <= bounds[1] + 1e-3)
+
+
+def test_live_policy_ddim10_serving_config():
+    """The production serving sampler (DDIM, 10 steps, deterministic)
+    drives the live policy end-to-end: fuse + predict with the exact kwargs
+    the experiment CLI's --scheduler ddim --num_inference_steps 10 passes
+    (reference ships DDPM->DDIM conversion for deployment,
+    diffuser_actor/converter.py:51+)."""
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+    from nvblox_mindmap_tpu.training.trainer import (
+        Trainer,
+        TrainerConfig,
+        make_train_batch_template,
+    )
+
+    emb = ArmEmbodiment()
+    bounds = np.asarray([[-1.0, -1.0, -0.5], [1.5, 1.0, 1.5]], dtype=np.float32)
+    cfg = DiffuserActorConfig(
+        embedding_dim=24,
+        num_attn_heads=4,
+        data_type="mesh",
+        feature_type=FeatureExtractorType.RGB,
+        diffusion_timesteps=100,  # train-time count; serving reduces to 10
+        fps_subsampling_factor=4,
+    )
+    mapping_cfg = MappingConfig(
+        voxel_size_m=0.05,
+        aabb_min_m=(-1.0, -1.0, -0.5),
+        aabb_max_m=(1.5, 1.0, 1.5),
+        min_integration_distance_m=0.05,
+        feature_dim=3,
+        max_feature_pages=256,
+        static_mask_erosion_iterations=1,
+        valid_depth_mask_erosion_iterations=1,
+        upscaled_feature_image_size=(32, 32),
+    )
+    trainer = Trainer(cfg, TrainerConfig(batch_size=1, save_checkpoint=False), bounds)
+    template = make_train_batch_template(cfg, batch_size=1, n_vertices=64,
+                                         feature_dim=3)
+    params, _ = trainer.init_state(template)
+    policy = NvbloxDiffuserActorPolicy(
+        DiffuserActor(cfg),
+        params,
+        emb,
+        mapping_cfg,
+        bounds,
+        num_vertices_to_sample=64,
+        num_inference_steps=10,
+        scheduler_kind="ddim",
+        stochastic_sampling=False,
+    )
+    env = KinematicEnvironment(
+        emb, arm_state([0, 0, 0.3]), [np.asarray([0.3, 0, 0.3])], max_step_m=0.05
+    )
+    env.reset()
+    for _ in range(3):
+        policy.step(env)
+    key0, rng0 = policy._key, copy.deepcopy(policy._rng)
+    (g,) = policy.get_new_goal(env)
+    assert np.all(np.isfinite(g))
+    assert np.all(g[:3] >= bounds[0] - 1e-3) and np.all(g[:3] <= bounds[1] + 1e-3)
+    # eta=0 DDIM is deterministic GIVEN the initial noise: rewinding the
+    # policy's RNG state (diffusion key + vertex-subsample rng) and
+    # re-predicting from the identical map must reproduce the goal exactly.
+    # (Two successive calls intentionally differ: each draws fresh initial
+    # trajectory noise, matching the reference's per-call sampling.)
+    policy._key, policy._rng = key0, rng0
+    jax.clear_caches()  # re-trace too: determinism must not be cache luck
+    policy._infer = None
+    (g2,) = policy.get_new_goal(env)
+    np.testing.assert_allclose(g2, g, atol=1e-5)
 
 
 def test_goal_policy_cycles_and_dummy_sequences():
