@@ -367,3 +367,36 @@ def test_golden_recipe_roundtrip_clip(tmp_path):
         FeatureExtractorType.CLIP_RESNET50_FPN, golden, weights,
         layers=layers, width=width,
     )
+
+
+def test_golden_recipe_cli_reaches_download_offline(tmp_path, monkeypatch,
+                                                    capsys):
+    """Standing check that the one-command fixture recipe stays runnable:
+    `python -m nvblox_mindmap_tpu.scripts.make_backbone_golden` must parse
+    args, import the conversion chain, and reach the torch-hub download call
+    for every golden type — then fail CLEANLY (exit 1 + actionable message)
+    on a no-egress host instead of crashing earlier. The moment any host has
+    egress, producing real fixtures is this same command (VERDICT r3 #8)."""
+    import torch
+
+    from nvblox_mindmap_tpu.scripts import make_backbone_golden as mbg
+
+    hub_calls = []
+
+    def fake_hub_load(*args, **kwargs):
+        hub_calls.append(args[0] if args else kwargs)
+        raise OSError("simulated offline host: no egress to torch hub")
+
+    monkeypatch.setattr(torch.hub, "load", fake_hub_load)
+    # The CLIP type downloads through clip.load (an optional dependency that
+    # may be absent here); absent-module and no-egress both exercise the
+    # same clean-failure path, so no patch is needed for it.
+    rc = mbg.main(["--output", str(tmp_path)])
+    assert rc == 1
+    out = capsys.readouterr().out
+    # Every golden type was attempted and reported; the ViT types reached
+    # the actual hub download call.
+    for ft in mbg.GOLDEN_TYPES:
+        assert ft.value in out.split("FAILED for:")[-1]
+    assert len(hub_calls) == 2  # RADIO + DINOv2 reached torch.hub.load
+    assert "egress" in out  # the message tells the operator what to do
