@@ -71,6 +71,7 @@ def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0):
         demos=args.demos_train,
         batch_size=args.batch_size,
         sampling_weighting_type=weighting,
+        balance_demo_groups=getattr(args, "balance_demo_groups", None),
         apply_random_transforms=bool(args.apply_random_transforms),
         apply_geometry_noise=bool(args.apply_geometry_noise),
         pos_noise_stddev_m=args.pos_noise_stddev_m,

@@ -8,6 +8,7 @@ pattern re-done for a jax host loop.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from collections import defaultdict
@@ -376,6 +377,44 @@ class DataLoader:
                 t.join(timeout=5.0)
 
 
+def _balance_demo_group_weights(
+    weights: np.ndarray, dataset: DemoDataset, groups_spec: str
+) -> np.ndarray:
+    """Scale per-sample weights so each demo-index group carries equal total
+    sampling mass. Every demo in the dataset must belong to exactly one
+    group, and every group must contribute >0 mass — silent emptiness would
+    quietly train on one source only."""
+    from nvblox_mindmap_tpu.data.dataset import get_indices_from_range_str
+
+    group_sets = [
+        frozenset(get_indices_from_range_str(r))
+        for r in groups_spec.split(",")
+    ]
+    demo_index = {
+        path: int(os.path.basename(path).rsplit("_", 1)[-1])
+        for path in dataset.demo_paths
+    }
+    sample_group = np.empty(len(dataset), dtype=np.int64)
+    for i in range(len(dataset)):
+        path, _ = dataset.locate(i)
+        gids = [g for g, s in enumerate(group_sets) if demo_index[path] in s]
+        assert len(gids) == 1, (
+            f"demo {path} (index {demo_index[path]}) matches {len(gids)} "
+            f"groups of balance_demo_groups={groups_spec!r}; demos must "
+            "belong to exactly one group"
+        )
+        sample_group[i] = gids[0]
+    weights = np.asarray(weights, dtype=np.float64).copy()
+    for g in range(len(group_sets)):
+        mass = weights[sample_group == g].sum()
+        assert mass > 0, (
+            f"balance group {g} ({sorted(group_sets[g])[:4]}...) has zero "
+            "sampling mass"
+        )
+        weights[sample_group == g] /= mass
+    return weights
+
+
 def get_data_loader_by_data_type(
     embodiment: EmbodimentBase,
     dataset_path: str,
@@ -405,8 +444,15 @@ def get_data_loader_by_data_type(
     shard_index: int = 0,
     seed: int = 0,
     drop_last: bool = True,
+    balance_demo_groups: Optional[str] = None,
 ) -> Tuple[DataLoader, Optional[WeightedEpochSampler]]:
-    """Build the full train/eval loader for a data type (reference API parity)."""
+    """Build the full train/eval loader for a data type (reference API parity).
+
+    ``balance_demo_groups``: comma-separated demo-index ranges (same syntax
+    as ``demos``, e.g. ``"0-7,8-39"``); each group's total sampling mass is
+    normalized to be equal, on top of ``sampling_weighting_type``'s
+    per-sample weights. TPU-native extension (no reference counterpart) for
+    mixed expert+corrective datasets."""
     items = embodiment.get_camera_item_names_by_encoding_method(add_external_cam)
     item_names = get_item_names_by_data_type(data_type, items)
     transforms = get_transforms_by_data_type(
@@ -437,9 +483,24 @@ def get_data_loader_by_data_type(
         keypose_detection_mode=keypose_detection_mode,
     )
     sampler = None
+    weights = None
+    replacement = False
     if sampling_weighting_type != SamplingWeightingType.NONE:
         weights = dataset.get_sample_weights(sampling_weighting_type, use_keyposes)
         replacement = sampling_weighting_type != SamplingWeightingType.UNIFORM
+    if balance_demo_groups:
+        # Source balancing for mixed datasets (e.g. expert + on-policy
+        # corrective demos, scripts/task_success_experiment.py dagger stage):
+        # without it, N corrective demos dilute the nominal data N:M at the
+        # sample level and closed-loop behavior on nominal states regresses
+        # (measured: docs/pages/benchmarks.md DAgger paragraph). Equal-mass
+        # groups need draws proportional to weight => replacement sampling.
+        weights = _balance_demo_group_weights(
+            np.ones(len(dataset)) if weights is None else weights,
+            dataset, balance_demo_groups,
+        )
+        replacement = True
+    if weights is not None:
         sampler = WeightedEpochSampler(
             weights,
             num_samples=len(dataset),

@@ -193,22 +193,39 @@ def dagger_gen(out: str, num_demos: int, checkpoint: str,
         generate_cube_stacking_dagger_demos,
     )
 
-    harvest_seed = seed + DAGGER_SEED_OFFSET
-    _assert_disjoint_seed_ranges(
-        (seed, num_demos), (HELDOUT_SEED, num_demos),
-        (harvest_seed, dagger_demos),
-    )
     ds = os.path.join(out, "ds")
     start = num_demos + recovery_demos
     expected = [
         os.path.join(ds, f"demo_{start + i:05d}")
         for i in range(dagger_demos)
     ]
-    if all(
-        os.path.exists(os.path.join(d, "scene.json"))
-        and glob.glob(os.path.join(d, "*.nvblox_vertex_features.zst"))
-        for d in expected
-    ):
+
+    def _fused(d: str) -> bool:
+        return bool(
+            os.path.exists(os.path.join(d, "scene.json"))
+            and glob.glob(os.path.join(d, "*.nvblox_vertex_features.zst"))
+        )
+
+    # Multi-round aggregation (the DAgger loop): demos already harvested by
+    # earlier rounds are kept, and only the missing TAIL is rolled out — with
+    # the CURRENT checkpoint, so each round's correctives target the states
+    # the latest policy actually drifts to. Fresh scene seeds advance past
+    # the existing demos (scenes are seeded harvest_seed + i inside the
+    # generator).
+    fused_flags = [_fused(d) for d in expected]
+    n_existing = next(
+        (i for i, f in enumerate(fused_flags) if not f), dagger_demos
+    )
+    assert not any(fused_flags[n_existing:]), (
+        f"non-contiguous dagger demos under {ds}: {fused_flags} — remove the "
+        "partial tail and re-run"
+    )
+    harvest_seed = seed + DAGGER_SEED_OFFSET + n_existing
+    _assert_disjoint_seed_ranges(
+        (seed, num_demos), (HELDOUT_SEED, num_demos),
+        (harvest_seed, dagger_demos - n_existing),
+    )
+    if n_existing == dagger_demos:
         return expected
     model, params, _, bounds = load_model(checkpoint, task)
     embodiment = _embodiment_for_task(task)
@@ -221,10 +238,14 @@ def dagger_gen(out: str, num_demos: int, checkpoint: str,
         )
 
     demos, stats = generate_cube_stacking_dagger_demos(
-        ds, dagger_demos, make_policy, seed=harvest_seed,
-        cube_half=CUBE_HALF, start_index=start,
+        ds, dagger_demos - n_existing, make_policy, seed=harvest_seed,
+        cube_half=CUBE_HALF, start_index=start + n_existing,
     )
-    with open(os.path.join(out, "dagger_rollout_stats.json"), "w") as f:
+    stats_path = os.path.join(out, "dagger_rollout_stats.json")
+    if n_existing and os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f) + stats  # aggregate across rounds
+    with open(stats_path, "w") as f:
         json.dump(stats, f, indent=2)
     print(json.dumps(stats, indent=2))
     feature_fn = make_mapping_feature_fn(
@@ -253,13 +274,24 @@ def train(out: str, num_demos: int, iters: int,
           apply_geometry_noise: bool = False,
           pos_noise_stddev_m: float = 0.01,
           rot_noise_stddev_deg: float = 0.01,
-          extra_demos: int = 0) -> str:
+          extra_demos: int = 0,
+          balance_sources: bool = False) -> str:
     """``extra_demos``: appended recovery/dagger demos (indices >= num_demos)
-    to include in --demos_train — the mixed expert+corrective dataset."""
+    to include in --demos_train — the mixed expert+corrective dataset.
+    ``balance_sources``: give the expert demos and the corrective demos equal
+    total sampling mass (data/loader.py balance_demo_groups) — N correctives
+    otherwise dilute the nominal data N:num_demos and nominal-scene behavior
+    regresses (measured round 4, docs/pages/benchmarks.md)."""
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
     log_dir = os.path.join(out, "logs")
     noise_args = []
+    if balance_sources:
+        assert extra_demos > 0, "--balance_sources needs corrective demos"
+        noise_args += [
+            "--balance_demo_groups",
+            f"0-{num_demos - 1},{num_demos}-{num_demos + extra_demos - 1}",
+        ]
     if apply_geometry_noise:
         # DART-style robustification (reference cli/args.py:84-90): Gaussian
         # SE3 noise on the gripper HISTORY + mesh vertices, clean GT targets
@@ -555,6 +587,13 @@ def main(argv=None):
         "training by the 'train' stage",
     )
     p.add_argument(
+        "--balance_sources", type=int, default=0,
+        help="1 = equal total sampling mass for the expert demos vs the "
+        "recovery/dagger correctives during 'train' (loader "
+        "balance_demo_groups); without it N correctives dilute nominal "
+        "data N:num_demos",
+    )
+    p.add_argument(
         "--scheduler", default="ddpm", choices=["ddpm", "ddim"],
         help="reverse-diffusion sampler for closedloop/heldout: ddpm "
         "(reference protocol, stochastic, training timestep count) or ddim "
@@ -588,7 +627,8 @@ def main(argv=None):
               apply_geometry_noise=bool(args.apply_geometry_noise),
               pos_noise_stddev_m=args.pos_noise_stddev_m,
               rot_noise_stddev_deg=args.rot_noise_stddev_deg,
-              extra_demos=args.recovery_demos + args.dagger_demos)
+              extra_demos=args.recovery_demos + args.dagger_demos,
+              balance_sources=bool(args.balance_sources))
     if args.stage in ("openloop", "all"):
         open_loop_eval(
             args.out, args.num_demos, latest_checkpoint(args.out), args.task

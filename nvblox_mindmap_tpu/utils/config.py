@@ -180,6 +180,10 @@ class TrainingAppArgs(ModelArgs, SystemArgs, DataGenArgs):
     # CPU or transfer link cannot keep up with the device step rate.
     # Validation still streams from --dataset.
     packed_dataset: Optional[str] = None
+    # Equal-mass sampling across demo-index groups (e.g. "0-7,8-39" for an
+    # expert + DAgger-corrective mix; data/loader.py). Applies to the train
+    # loader only. No reference counterpart.
+    balance_demo_groups: Optional[str] = None
     include_failed_demos: bool = False
     exp_name: str = "mindmap-tpu Training"
     num_workers: int = 0

@@ -603,3 +603,59 @@ def test_loader_pool_transform_streams_are_independent(demo_dataset_dir):
             assert not np.allclose(draws[i], draws[j]), (
                 f"transform streams {i} and {j} are identical"
             )
+
+
+def test_balance_demo_groups_equalizes_source_mass(demo_dataset_dir):
+    """balance_demo_groups gives each demo-index group equal TOTAL sampling
+    mass regardless of group size — the mixed expert+corrective training fix
+    (scripts/task_success_experiment.py --balance_sources): without it, N
+    corrective demos dilute the nominal data at the sample level."""
+    emb = ArmEmbodiment()
+    common = dict(
+        embodiment=emb,
+        dataset_path=demo_dataset_dir,
+        demos="0-1",
+        num_workers=0,
+        batch_size=4,
+        use_keyposes=True,
+        data_type=DataType.MESH,
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=[5],
+        keypose_detection_mode=KeyposeDetectionMode.HIGHEST_Z_BETWEEN_GRASP,
+        include_failed_demos=False,
+        num_history=3,
+        prediction_horizon=1,
+        num_vertices_to_sample=64,
+        vertex_sampling_method=VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT,
+        seed=0,
+    )
+    _, sampler = get_data_loader_by_data_type(
+        sampling_weighting_type=SamplingWeightingType.GRIPPER_STATE_CHANGE,
+        balance_demo_groups="0,1",
+        **common,
+    )
+    assert sampler is not None and sampler.replacement
+    n0 = len(sampler.weights) // 2  # both demos are the same fixture length
+    # Per-group mass equal even though gripper_state_change weights vary
+    # within a group.
+    mass0, mass1 = sampler.weights[:n0].sum(), sampler.weights[n0:].sum()
+    np.testing.assert_allclose(mass0, mass1, rtol=1e-9)
+
+    # Also works with no base weighting (NONE -> uniform base + replacement).
+    _, sampler_none = get_data_loader_by_data_type(
+        sampling_weighting_type=SamplingWeightingType.NONE,
+        balance_demo_groups="0,1",
+        **common,
+    )
+    assert sampler_none is not None and sampler_none.replacement
+    np.testing.assert_allclose(
+        sampler_none.weights[:n0].sum(), sampler_none.weights[n0:].sum()
+    )
+
+    # A demo not covered by exactly one group is a loud error, not silence.
+    with pytest.raises(AssertionError, match="exactly one group"):
+        get_data_loader_by_data_type(
+            sampling_weighting_type=SamplingWeightingType.NONE,
+            balance_demo_groups="0",
+            **common,
+        )
