@@ -285,13 +285,22 @@ def _bench_fusion_hz_with_backbone() -> float:
     return best
 
 
-def _bench_train_step() -> tuple:
-    """Full training-step time at the flagship configuration, batch 32.
+def _bench_train_step(
+    data_type: str = "rgbd_and_mesh", batch_size: int = 32
+) -> tuple:
+    """Full training-step time at the flagship configuration.
 
-    One compiled program: preprocess -> encode -> DDPM noise -> denoise ->
-    loss -> grad -> AdamW update, with donated params/opt_state (the
-    production trainer path, training/trainer.py). Steps chain on the donated
-    state, so the loop is naturally pipelined.
+    The DEFAULT is the reference's training default: data_type=RGBD_AND_MESH
+    with the frozen RADIO backbone forward INSIDE the train step
+    (reference cli/args.py:72, diffuser_actor/encoder.py:246-300 runs
+    feature extraction in encode_inputs at train time). data_type="mesh"
+    rides along as the lighter secondary config earlier rounds reported.
+
+    One compiled program: preprocess -> (frozen ViT forward, rgbd configs)
+    -> encode -> DDPM noise -> denoise -> loss -> grad -> AdamW update, with
+    donated params/opt_state (the production trainer path,
+    training/trainer.py). Steps chain on the donated state, so the loop is
+    naturally pipelined.
 
     Returns (step_ms, step_gflops): gflops from XLA's cost analysis of the
     compiled program, for the roofline/MFU estimate in the summary JSON.
@@ -302,15 +311,18 @@ def _bench_train_step() -> tuple:
     from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActorConfig
     from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
 
+    uses_rgb = data_type in ("rgbd", "rgbd_and_mesh")
     cfg = DiffuserActorConfig(
         embedding_dim=120,
         num_attn_heads=8,
-        data_type="mesh",
-        feature_type=FeatureExtractorType.RGB,
+        data_type=data_type,
+        feature_type=(FeatureExtractorType.RADIO_V25_B if uses_rgb
+                      else FeatureExtractorType.RGB),
         diffusion_timesteps=100,
         fps_subsampling_factor=5,
     )
-    B, NV, FD = 32, 2048, 768
+    B, NV, FD = batch_size, 2048, 768
+    NCAM, IMG = 2, 512  # arm default: wrist + table cams at 512x512
     bounds = np.asarray(
         [[-0.37, -0.75, -0.13], [0.95, 0.75, 0.65]], dtype=np.float32
     )
@@ -332,9 +344,18 @@ def _bench_train_step() -> tuple:
         "gt_gripper_pred": pose8((B, 1, 1)),
         "gt_head_yaw": None,
         "instruction": None,
-        "rgbs": None,
-        "pcds": None,
-        "pcd_valid_mask": None,
+        "rgbs": (
+            rng.uniform(0, 1, size=(B, NCAM, IMG, IMG, 3)).astype(np.float32)
+            if uses_rgb else None
+        ),
+        "pcds": (
+            rng.uniform(-0.3, 0.6, size=(B, NCAM, IMG, IMG, 3)).astype(
+                np.float32)
+            if uses_rgb else None
+        ),
+        "pcd_valid_mask": (
+            np.ones((B, NCAM, IMG, IMG), bool) if uses_rgb else None
+        ),
         "vertices": rng.uniform(-0.3, 0.6, size=(B, NV, 3)).astype(np.float32),
         "vertex_features": rng.normal(size=(B, NV, FD)).astype(np.float32),
         "vertices_valid_mask": np.ones((B, NV), bool),
@@ -384,6 +405,100 @@ def _bench_train_step() -> tuple:
 LOADER_BENCH_WORKERS = 4
 
 
+def _write_synthetic_flagship_dataset(root: str, n_demos: int = 2,
+                                      n_frames: int = 48) -> None:
+    """An on-disk dataset shaped like production captures: 512x512 RGB (PNG)
+    + 512x512 uint16 depth (PNG) + 768-d fp16 feature meshes with realistic
+    low-rank structure (zstd-compressible, like real backbone features)."""
+    import imageio.v2 as imageio
+
+    from nvblox_mindmap_tpu.data.dataset import pickle_zst
+
+    rng = np.random.default_rng(0)
+    NV, FD = 6000, 768
+    H = W = 512
+    # Shared photographic-ish content; per-frame noise defeats any
+    # content-dedup caching between frames.
+    yy, xx = np.mgrid[0:H, 0:W]
+    base_rgb = np.stack(
+        [xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 37.0)], axis=-1
+    )
+    lowrank_a = rng.normal(size=(NV, 16)).astype(np.float16)
+    for d in range(n_demos):
+        demo = os.path.join(root, f"demo_{d:05d}")
+        os.makedirs(demo)
+        np.save(os.path.join(demo, "demo_successful.npy"), np.asarray(1))
+        t = np.linspace(0, 1, n_frames)
+        pos = np.stack(
+            [0.3 + 0.3 * t, 0.1 * np.sin(2 * np.pi * t),
+             0.2 + 0.2 * np.sin(np.pi * t)], axis=1)
+        jaws = np.full((n_frames, 2), 0.04)
+        jaws[n_frames // 3: 2 * n_frames // 3] = 0.01
+        for i in range(n_frames):
+            state = np.concatenate(
+                [pos[i], [1, 0, 0, 0], jaws[i]]).astype(np.float32)
+            np.save(os.path.join(demo, f"{i}.robot_state.npy"), state)
+            rgb = np.clip(
+                base_rgb + rng.normal(0, 0.02, (H, W, 3)), 0, 1)
+            imageio.imwrite(
+                os.path.join(demo, f"{i}.wrist_rgb.png"),
+                (rgb * 255).astype(np.uint8))
+            depth = (1000 * (0.8 + 0.2 * np.sin(xx / 53.0 + i))).astype(
+                np.uint16)
+            imageio.imwrite(
+                os.path.join(demo, f"{i}.wrist_depth.png"), depth)
+            np.save(os.path.join(demo, f"{i}.wrist_pose.npy"),
+                    np.asarray([0.3, 0, 0.9, 0, 1, 0, 0], np.float32))
+            np.save(os.path.join(demo, f"{i}.wrist_intrinsics.npy"),
+                    np.asarray([[400.0, 0, 256], [0, 400.0, 256],
+                                [0, 0, 1]], np.float32))
+            feats = (
+                lowrank_a @ rng.normal(size=(16, FD)).astype(np.float16)
+                + rng.normal(0, 0.05, (NV, FD))
+            ).astype(np.float16)
+            pickle_zst(
+                {"vertices": rng.uniform(-0.2, 0.9, (NV, 3)).astype(
+                    np.float16),
+                 "features": feats, "channel_length": FD},
+                os.path.join(demo, f"{i}.nvblox_vertex_features.zst"),
+            )
+
+
+def _make_flagship_loader(root: str, num_workers: int = LOADER_BENCH_WORKERS,
+                          demos: str = "0-1", drop_last: bool = False):
+    from nvblox_mindmap_tpu.data.dataset import SamplingWeightingType
+    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
+    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
+    from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
+    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
+
+    loader, _ = get_data_loader_by_data_type(
+        embodiment=ArmEmbodiment(),
+        dataset_path=root,
+        demos=demos,
+        num_workers=num_workers,
+        batch_size=32,
+        use_keyposes=True,
+        data_type="rgbd_and_mesh",
+        only_sample_keyposes=False,
+        extra_keyposes_around_grasp_events=[],
+        keypose_detection_mode=(
+            KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION
+        ),
+        include_failed_demos=False,
+        sampling_weighting_type=SamplingWeightingType.NONE,
+        num_history=3,
+        prediction_horizon=1,
+        num_vertices_to_sample=2048,
+        vertex_sampling_method=(
+            VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT
+        ),
+        seed=0,
+        drop_last=drop_last,
+    )
+    return loader
+
+
 def _bench_loader_samples_per_s() -> float:
     """Input-pipeline throughput at flagship-like shapes (host-only).
 
@@ -401,92 +516,10 @@ def _bench_loader_samples_per_s() -> float:
     import shutil
     import tempfile
 
-    import imageio.v2 as imageio
-
-    from nvblox_mindmap_tpu.data.dataset import (
-        SamplingWeightingType,
-        pickle_zst,
-    )
-    from nvblox_mindmap_tpu.data.keyposes import KeyposeDetectionMode
-    from nvblox_mindmap_tpu.data.loader import get_data_loader_by_data_type
-    from nvblox_mindmap_tpu.data.vertex_sampling import VertexSamplingMethod
-    from nvblox_mindmap_tpu.embodiments.arm import ArmEmbodiment
-
-    rng = np.random.default_rng(0)
     root = tempfile.mkdtemp(prefix="bench_loader_")
     try:
-        n_frames, NV, FD = 48, 6000, 768
-        H = W = 512
-        # Shared photographic-ish content; per-frame noise defeats any
-        # content-dedup caching between frames.
-        yy, xx = np.mgrid[0:H, 0:W]
-        base_rgb = np.stack(
-            [xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 37.0)], axis=-1
-        )
-        lowrank_a = rng.normal(size=(NV, 16)).astype(np.float16)
-        for d in range(2):
-            demo = os.path.join(root, f"demo_{d:05d}")
-            os.makedirs(demo)
-            np.save(os.path.join(demo, "demo_successful.npy"), np.asarray(1))
-            t = np.linspace(0, 1, n_frames)
-            pos = np.stack(
-                [0.3 + 0.3 * t, 0.1 * np.sin(2 * np.pi * t),
-                 0.2 + 0.2 * np.sin(np.pi * t)], axis=1)
-            jaws = np.full((n_frames, 2), 0.04)
-            jaws[n_frames // 3: 2 * n_frames // 3] = 0.01
-            for i in range(n_frames):
-                state = np.concatenate(
-                    [pos[i], [1, 0, 0, 0], jaws[i]]).astype(np.float32)
-                np.save(os.path.join(demo, f"{i}.robot_state.npy"), state)
-                rgb = np.clip(
-                    base_rgb + rng.normal(0, 0.02, (H, W, 3)), 0, 1)
-                imageio.imwrite(
-                    os.path.join(demo, f"{i}.wrist_rgb.png"),
-                    (rgb * 255).astype(np.uint8))
-                depth = (1000 * (0.8 + 0.2 * np.sin(xx / 53.0 + i))).astype(
-                    np.uint16)
-                imageio.imwrite(
-                    os.path.join(demo, f"{i}.wrist_depth.png"), depth)
-                np.save(os.path.join(demo, f"{i}.wrist_pose.npy"),
-                        np.asarray([0.3, 0, 0.9, 0, 1, 0, 0], np.float32))
-                np.save(os.path.join(demo, f"{i}.wrist_intrinsics.npy"),
-                        np.asarray([[400.0, 0, 256], [0, 400.0, 256],
-                                    [0, 0, 1]], np.float32))
-                feats = (
-                    lowrank_a @ rng.normal(size=(16, FD)).astype(np.float16)
-                    + rng.normal(0, 0.05, (NV, FD))
-                ).astype(np.float16)
-                pickle_zst(
-                    {"vertices": rng.uniform(-0.2, 0.9, (NV, 3)).astype(
-                        np.float16),
-                     "features": feats, "channel_length": FD},
-                    os.path.join(demo, f"{i}.nvblox_vertex_features.zst"),
-                )
-
-        loader, _ = get_data_loader_by_data_type(
-            embodiment=ArmEmbodiment(),
-            dataset_path=root,
-            demos="0-1",
-            num_workers=LOADER_BENCH_WORKERS,
-            batch_size=32,
-            use_keyposes=True,
-            data_type="rgbd_and_mesh",
-            only_sample_keyposes=False,
-            extra_keyposes_around_grasp_events=[],
-            keypose_detection_mode=(
-                KeyposeDetectionMode.HIGHEST_Z_OF_VERTICAL_MOTION
-            ),
-            include_failed_demos=False,
-            sampling_weighting_type=SamplingWeightingType.NONE,
-            num_history=3,
-            prediction_horizon=1,
-            num_vertices_to_sample=2048,
-            vertex_sampling_method=(
-                VertexSamplingMethod.RANDOM_WITHOUT_REPLACEMENT
-            ),
-            seed=0,
-            drop_last=False,
-        )
+        _write_synthetic_flagship_dataset(root)
+        loader = _make_flagship_loader(root)
         best = 0.0
         for _ in range(3):  # first epoch warms page cache / decoder state
             n_samples = 0
@@ -495,6 +528,83 @@ def _bench_loader_samples_per_s() -> float:
                 n_samples += batch["gripper_history"].shape[0]
             best = max(best, n_samples / (time.perf_counter() - t0))
         return best
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _bench_train_e2e(num_steps: int = 500, num_packed: int = 4) -> tuple:
+    """Sustained chip-fed training from a packed epoch (the full contract).
+
+    The real data path materializes once (production DataLoader over a
+    synthetic flagship-shape dataset -> data/packed.py), stages into HBM,
+    and a {num_steps}-step flagship train run slices batches ON DEVICE.
+    Returns (e2e_samples_per_s, stage_upload_s, materialize_s): e2e should
+    sit within ~20% of the device-only step rate — the point of the design;
+    staging/materialization are the one-time costs it amortizes.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    from nvblox_mindmap_tpu.data.packed import (
+        PackedEpoch,
+        device_batch,
+        materialize_packed_epoch,
+        stage_to_device,
+    )
+    from nvblox_mindmap_tpu.models.diffuser_actor import DiffuserActorConfig
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+    from nvblox_mindmap_tpu.training.trainer import Trainer, TrainerConfig
+
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    packed_dir = os.path.join(root, "packed")
+    try:
+        # 3 demos x 48 frames -> 144 samples -> 4 full b32 batches.
+        _write_synthetic_flagship_dataset(root, n_demos=3)
+        t0 = time.perf_counter()
+        loader = _make_flagship_loader(root, demos="0-2", drop_last=True)
+        materialize_packed_epoch(loader, packed_dir, num_batches=num_packed)
+        materialize_s = time.perf_counter() - t0
+
+        cfg = DiffuserActorConfig(
+            embedding_dim=120,
+            num_attn_heads=8,
+            data_type="rgbd_and_mesh",
+            feature_type=FeatureExtractorType.RADIO_V25_B,
+            diffusion_timesteps=100,
+            fps_subsampling_factor=5,
+        )
+        B = 32
+        bounds = np.asarray(
+            [[-0.37, -0.75, -0.13], [0.95, 0.75, 0.65]], dtype=np.float32
+        )
+        trainer = Trainer(
+            cfg,
+            TrainerConfig(train_iters=1, batch_size=B, save_checkpoint=False),
+            bounds,
+        )
+        t0 = time.perf_counter()
+        staged = stage_to_device(PackedEpoch(packed_dir))
+        jax.block_until_ready([v for v in staged.values()
+                               if v is not None and hasattr(v, "dtype")])
+        stage_upload_s = time.perf_counter() - t0
+
+        params, opt_state = trainer.init_state(device_batch(staged, 0))
+        params, opt_state, losses = trainer.train_one_step(
+            params, opt_state, device_batch(staged, 0), 0, on_device=True
+        )  # warmup/compile
+        jax.block_until_ready(losses["total"])
+        t0 = time.perf_counter()
+        for step in range(1, num_steps + 1):
+            params, opt_state, losses = trainer.train_one_step(
+                params, opt_state, device_batch(staged, step), step,
+                on_device=True,
+            )
+        jax.block_until_ready(losses["total"])
+        e2e = num_steps * B / (time.perf_counter() - t0)
+        assert np.isfinite(float(jax.device_get(losses["total"])))
+        return e2e, stage_upload_s, materialize_s
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -548,8 +658,14 @@ if __name__ == "__main__":
             print(ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms, b8_ms)
         elif what == "fusion_backbone":
             print(_bench_fusion_hz_with_backbone())
-        elif what == "train":
-            ms, gflops = _bench_train_step()
+        elif what == "train_e2e":
+            e2e, upload_s, mat_s = _bench_train_e2e()
+            print(e2e, upload_s, mat_s)
+        elif what.startswith("train"):
+            # "train" (flagship b32) or "train:<data_type>:<batch>".
+            _, dt, b = (what.split(":") + ["rgbd_and_mesh", "32"])[:3] \
+                if ":" in what else ("train", "rgbd_and_mesh", "32")
+            ms, gflops = _bench_train_step(data_type=dt, batch_size=int(b))
             print(ms, gflops)
         elif what == "loader":
             print(_bench_loader_samples_per_s())
@@ -574,28 +690,59 @@ if __name__ == "__main__":
             (fusion_backbone_hz,) = _run_in_subprocess("fusion_backbone")
         except RuntimeError:
             fusion_backbone_hz = None
-        # Train-step metric is best-effort: the flagship fwd+bwd program's
+        # Train-step metrics are best-effort: the flagship fwd+bwd program's
         # first compile can exceed the round budget on a cold cache; the
         # headline (driver-tracked) metrics must never be lost to it.
+        # Roofline helper: achieved TFLOP/s and MFU vs the chip's bf16 peak
+        # (TPU v5e = 197 TFLOP/s; the step runs mixed fp32/bf16, so this is
+        # a conservative utilization bound).
+        def train_point(what, batch, timeout_s):
+            try:
+                ms, gflops = _run_in_subprocess(
+                    what, retries=0, timeout_s=timeout_s
+                )
+            except RuntimeError:
+                return None
+            point = {
+                "step_ms": round(ms, 3),
+                "samples_per_s": round(batch * 1000.0 / ms, 1),
+            }
+            if gflops and gflops > 0:
+                tflops = gflops / ms  # GFLOP / ms == TFLOP/s
+                point["tflops_per_s"] = round(tflops, 2)
+                point["mfu_pct_vs_v5e_bf16_peak"] = round(
+                    100.0 * tflops * 1e12 / 197e12, 2
+                )
+            return point
+
+        # The reference's training default (RGBD_AND_MESH, frozen backbone
+        # forward inside the step) is the primary train metric; mesh-only is
+        # the lighter secondary config. The batch sweep maps where samples/s
+        # and MFU saturate (the docs' roofline story: per-op overhead bound
+        # at small shapes, batching is the throughput lever).
+        train_flagship = train_point("train:rgbd_and_mesh:32", 32, 2700)
+        train_mesh = train_point("train:mesh:32", 32, 1800)
+        train_scaling = {}
+        for b in (64, 128, 256):
+            pt = train_point(f"train:rgbd_and_mesh:{b}", b, 1800)
+            if pt is None:
+                break  # larger batches only get slower to compile / OOM
+            train_scaling[str(b)] = pt
+        train_step_ms = train_flagship["step_ms"] if train_flagship else None
+        # Chip-fed end-to-end: materialize (real data path) -> HBM staging
+        # -> 500 sustained steps slicing batches on device.
         try:
-            (train_step_ms, train_gflops) = _run_in_subprocess(
-                "train", retries=0, timeout_s=2700
+            e2e_sps, e2e_upload_s, e2e_mat_s = _run_in_subprocess(
+                "train_e2e", retries=0, timeout_s=3000
             )
         except RuntimeError:
-            train_step_ms, train_gflops = None, None
+            e2e_sps = e2e_upload_s = e2e_mat_s = None
         try:
             (loader_sps,) = _run_in_subprocess(
                 "loader", retries=0, timeout_s=1800
             )
         except RuntimeError:
             loader_sps = None
-        # Roofline: achieved TFLOP/s and MFU vs the chip's bf16 peak
-        # (TPU v5e = 197 TFLOP/s; the step runs mixed fp32/bf16, so this is
-        # a conservative utilization bound).
-        tflops = mfu = None
-        if train_step_ms and train_gflops and train_gflops > 0:
-            tflops = train_gflops / train_step_ms  # GFLOP / ms == TFLOP/s
-            mfu = 100.0 * tflops * 1e12 / 197e12
         loader_parallelism = max(
             1, min(LOADER_BENCH_WORKERS, os.cpu_count() or 1)
         )
@@ -634,18 +781,46 @@ if __name__ == "__main__":
                         round(fusion_backbone_hz / 30.0, 2)
                         if fusion_backbone_hz else None
                     ),
-                    "train_step_ms_b32": (
-                        round(train_step_ms, 3) if train_step_ms else None
+                    # Flagship = the reference's training default
+                    # (rgbd_and_mesh, frozen backbone inside the step).
+                    "train_step_ms_b32_flagship": (
+                        train_flagship["step_ms"] if train_flagship else None
                     ),
                     "train_samples_per_s": (
-                        round(32000.0 / train_step_ms, 1)
-                        if train_step_ms else None
+                        train_flagship["samples_per_s"]
+                        if train_flagship else None
                     ),
                     "train_step_tflops_per_s": (
-                        round(tflops, 2) if tflops else None
+                        train_flagship.get("tflops_per_s")
+                        if train_flagship else None
                     ),
                     "train_mfu_pct_vs_v5e_bf16_peak": (
-                        round(mfu, 2) if mfu else None
+                        train_flagship.get("mfu_pct_vs_v5e_bf16_peak")
+                        if train_flagship else None
+                    ),
+                    "train_step_ms_b32_mesh": (
+                        train_mesh["step_ms"] if train_mesh else None
+                    ),
+                    # Batch-scaling sweep (flagship shape): where does the
+                    # chip saturate? Keys are batch sizes.
+                    "train_batch_scaling": train_scaling or None,
+                    # Chip-fed e2e: 500 sustained flagship steps from a
+                    # device-staged packed epoch (data/packed.py); the ratio
+                    # vs the device-only step rate is the contract (>= 0.8).
+                    "train_e2e_samples_per_s": (
+                        round(e2e_sps, 1) if e2e_sps else None
+                    ),
+                    "train_e2e_vs_device_only": (
+                        round(
+                            e2e_sps / train_flagship["samples_per_s"], 3
+                        )
+                        if e2e_sps and train_flagship else None
+                    ),
+                    "train_e2e_stage_upload_s": (
+                        round(e2e_upload_s, 1) if e2e_upload_s else None
+                    ),
+                    "train_e2e_materialize_s": (
+                        round(e2e_mat_s, 1) if e2e_mat_s else None
                     ),
                     # Host input pipeline is CPU-parallel (loader worker
                     # pool). The measurement runs a fixed
