@@ -44,7 +44,12 @@ def resolve_keypose_params(args):
     return extra, mode
 
 
-def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0):
+def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0,
+                  skip_train: bool = False):
+    """``skip_train``: build only the validation loader (train_loader and
+    train_sampler come back None) — the packed-dataset mode replaces the
+    streaming train feed, so scanning/keypose-detecting the train demos
+    twice would waste host minutes on large datasets."""
     extra, mode = resolve_keypose_params(args)
     weighting = SamplingWeightingType(args.sampling_weighting_type.lower())
     common = dict(
@@ -67,19 +72,21 @@ def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0):
         shard_index=shard_index,
         seed=args.seed,
     )
-    train_loader, train_sampler = get_data_loader_by_data_type(
-        demos=args.demos_train,
-        batch_size=args.batch_size,
-        sampling_weighting_type=weighting,
-        balance_demo_groups=getattr(args, "balance_demo_groups", None),
-        apply_random_transforms=bool(args.apply_random_transforms),
-        apply_geometry_noise=bool(args.apply_geometry_noise),
-        pos_noise_stddev_m=args.pos_noise_stddev_m,
-        rot_noise_stddev_deg=args.rot_noise_stddev_deg,
-        random_translation_range_m=args.random_translation_range_m,
-        random_rpy_range_deg=args.random_rpy_range_deg,
-        **common,
-    )
+    train_loader = train_sampler = None
+    if not skip_train:
+        train_loader, train_sampler = get_data_loader_by_data_type(
+            demos=args.demos_train,
+            batch_size=args.batch_size,
+            sampling_weighting_type=weighting,
+            balance_demo_groups=getattr(args, "balance_demo_groups", None),
+            apply_random_transforms=bool(args.apply_random_transforms),
+            apply_geometry_noise=bool(args.apply_geometry_noise),
+            pos_noise_stddev_m=args.pos_noise_stddev_m,
+            rot_noise_stddev_deg=args.rot_noise_stddev_deg,
+            random_translation_range_m=args.random_translation_range_m,
+            random_rpy_range_deg=args.random_rpy_range_deg,
+            **common,
+        )
     val_loader, _ = get_data_loader_by_data_type(
         demos=args.demos_valset or args.demos_train,
         batch_size=args.batch_size_val,
@@ -158,7 +165,9 @@ def main(argv=None):
             args.feature_type, args.backbone_weights, "training from scratch"
         )
 
-    train_loader, _, val_loader = build_loaders(args, embodiment)
+    train_loader, _, val_loader = build_loaders(
+        args, embodiment, skip_train=bool(args.packed_dataset)
+    )
     if args.packed_dataset:
         from nvblox_mindmap_tpu.data.packed import PackedDeviceLoader
 
