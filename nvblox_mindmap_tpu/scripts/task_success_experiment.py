@@ -275,17 +275,25 @@ def train(out: str, num_demos: int, iters: int,
           pos_noise_stddev_m: float = 0.01,
           rot_noise_stddev_deg: float = 0.01,
           extra_demos: int = 0,
-          balance_sources: bool = False) -> str:
+          balance_sources: bool = False,
+          apply_random_transforms: bool = False) -> str:
     """``extra_demos``: appended recovery/dagger demos (indices >= num_demos)
     to include in --demos_train — the mixed expert+corrective dataset.
     ``balance_sources``: give the expert demos and the corrective demos equal
     total sampling mass (data/loader.py balance_demo_groups) — N correctives
     otherwise dilute the nominal data N:num_demos and nominal-scene behavior
-    regresses (measured round 4, docs/pages/benchmarks.md)."""
+    regresses (measured round 4, docs/pages/benchmarks.md).
+    ``apply_random_transforms``: the reference's train-time SE(2) scene
+    augmentation (cli/args.py:80-83; ±0.1 m xy translation + ±90° z yaw
+    applied consistently to vertices, history, and targets) — defeats
+    absolute-position memorization, the place-grounding failure measured by
+    scripts/place_grounding_probe.py."""
     from nvblox_mindmap_tpu.apps.run_training import main as train_main
 
     log_dir = os.path.join(out, "logs")
     noise_args = []
+    if apply_random_transforms:
+        noise_args += ["--apply_random_transforms", "1"]
     if balance_sources:
         assert extra_demos > 0, "--balance_sources needs corrective demos"
         noise_args += [
@@ -299,7 +307,7 @@ def train(out: str, num_demos: int, iters: int,
         # the expert when its own rollout history drifts off-distribution,
         # the diagnosed cube_stacking closed-loop failure mode
         # (docs/pages/benchmarks.md, consensus-sampling paragraph).
-        noise_args = [
+        noise_args += [
             "--apply_geometry_noise", "1",
             "--pos_noise_stddev_m", str(pos_noise_stddev_m),
             "--rot_noise_stddev_deg", str(rot_noise_stddev_deg),
@@ -569,6 +577,13 @@ def main(argv=None):
     p.add_argument("--pos_noise_stddev_m", type=float, default=0.01)
     p.add_argument("--rot_noise_stddev_deg", type=float, default=0.01)
     p.add_argument(
+        "--apply_random_transforms", type=int, default=0,
+        help="Train with the reference's SE(2) scene augmentation "
+        "(cli/args.py:80-83): a shared random ±0.1 m xy shift + ±90° z yaw "
+        "per sample, applied consistently to vertices/history/targets — "
+        "defeats absolute-position memorization (place-grounding probe)",
+    )
+    p.add_argument(
         "--prediction_samples", type=int, default=1,
         help="K>1 enables consensus goal prediction (one batched device "
         "program per goal; policies.aggregate_trajectory_samples)",
@@ -628,7 +643,8 @@ def main(argv=None):
               pos_noise_stddev_m=args.pos_noise_stddev_m,
               rot_noise_stddev_deg=args.rot_noise_stddev_deg,
               extra_demos=args.recovery_demos + args.dagger_demos,
-              balance_sources=bool(args.balance_sources))
+              balance_sources=bool(args.balance_sources),
+              apply_random_transforms=bool(args.apply_random_transforms))
     if args.stage in ("openloop", "all"):
         open_loop_eval(
             args.out, args.num_demos, latest_checkpoint(args.out), args.task

@@ -166,3 +166,38 @@ def test_experiment_seed_range_guard():
     _assert_disjoint_seed_ranges((21, 8), (1234, 8), (5021, 16))
     with pytest.raises(AssertionError):
         _assert_disjoint_seed_ranges((1230, 8), (1234, 8))
+
+
+def test_experiment_train_stage_flag_plumbing(monkeypatch, tmp_path):
+    """The experiment train stage must forward every data-augmentation flag
+    to the training app TOGETHER: the geometry-noise branch used to
+    OVERWRITE noise_args, silently dropping --apply_random_transforms /
+    --balance_demo_groups when combined (latent bug, round 4)."""
+    from nvblox_mindmap_tpu.scripts import task_success_experiment as exp
+
+    captured = {}
+
+    def fake_train_main(argv):
+        captured["argv"] = argv
+
+    monkeypatch.setattr(
+        "nvblox_mindmap_tpu.apps.run_training.main", fake_train_main
+    )
+    monkeypatch.setattr(exp, "latest_checkpoint", lambda out: "dummy.ckpt")
+    exp.train(
+        str(tmp_path), num_demos=8, iters=100,
+        apply_geometry_noise=True, pos_noise_stddev_m=0.02,
+        extra_demos=16, balance_sources=True,
+        apply_random_transforms=True,
+    )
+    argv = captured["argv"]
+
+    def flag_value(name):
+        return argv[argv.index(name) + 1]
+
+    assert flag_value("--apply_random_transforms") == "1"
+    assert flag_value("--apply_geometry_noise") == "1"
+    assert flag_value("--pos_noise_stddev_m") == "0.02"
+    assert flag_value("--balance_demo_groups") == "0-7,8-23"
+    # extra (dagger/recovery) demos widen the training range
+    assert flag_value("--demos_train") == "0-23"
