@@ -105,6 +105,13 @@ def main(argv=None, environment: str = "kinematic"):
             logger.warning("No checkpoint; running a random-init policy.")
             params, _ = trainer.init_state(template)
 
+    if not use_gt_policy:
+        logger.info(
+            "serving sampler: %s, %s inference steps",
+            args.serving_scheduler,
+            args.serving_num_inference_steps or cfg.diffusion_timesteps,
+        )
+
     def gt_goals_for(demo_path):
         return GroundTruthPolicy.from_demo(demo_path, embodiment, extra, mode)
 
@@ -150,6 +157,11 @@ def main(argv=None, environment: str = "kinematic"):
             include_dynamic=args.include_dynamic,
             feature_fn=feature_fn,
             num_prediction_samples=args.prediction_samples,
+            num_inference_steps=args.serving_num_inference_steps,
+            scheduler_kind=args.serving_scheduler,
+            # DDIM serves deterministic (eta=0, the benchmarked production
+            # config); DDPM keeps the reference's stochastic sampling.
+            stochastic_sampling=(args.serving_scheduler == "ddpm"),
         )
 
     # Task-semantics evaluator when the environment exposes object poses

@@ -133,6 +133,15 @@ class ClosedLoopArgs:
     # closed_loop/policies.aggregate_trajectory_samples). Default 1 =
     # reference parity (single stochastic DDPM draw).
     prediction_samples: int = 1
+    # Reverse-diffusion sampler for live inference. Defaults reproduce the
+    # reference's closed-loop protocol (stochastic DDPM at the training
+    # timestep count); "--serving_scheduler ddim
+    # --serving_num_inference_steps 10" is the production serving mode the
+    # reference ships DDPM->DDIM conversion for
+    # (reference diffuser_actor/converter.py:51+), validated closed-loop in
+    # docs/data/task_success_mug_in_drawer_ddim.json.
+    serving_scheduler: str = "ddpm"
+    serving_num_inference_steps: Optional[int] = None
 
 
 @dataclasses.dataclass

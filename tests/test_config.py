@@ -105,3 +105,23 @@ def test_analog_gripper_mode_is_rejected_loudly():
 
     with pytest.raises(NotImplementedError, match="analog"):
         parse_args(OpenLoopAppArgs, ["--gripper_encoding_mode", "analog"])
+
+
+def test_closed_loop_serving_scheduler_flags():
+    """The production closed-loop app exposes the DDIM serving mode
+    (reference ships DDPM->DDIM conversion for deployment,
+    diffuser_actor/converter.py:51+); defaults keep reference parity
+    (stochastic DDPM at the training timestep count)."""
+    from nvblox_mindmap_tpu.utils.config import ClosedLoopAppArgs
+
+    args = parse_args(ClosedLoopAppArgs, ["--task", "cube_stacking"])
+    assert args.serving_scheduler == "ddpm"
+    assert args.serving_num_inference_steps is None
+
+    args = parse_args(
+        ClosedLoopAppArgs,
+        ["--task", "cube_stacking", "--serving_scheduler", "ddim",
+         "--serving_num_inference_steps", "10"],
+    )
+    assert args.serving_scheduler == "ddim"
+    assert args.serving_num_inference_steps == 10
