@@ -662,9 +662,11 @@ if __name__ == "__main__":
             e2e, upload_s, mat_s = _bench_train_e2e()
             print(e2e, upload_s, mat_s)
         elif what.startswith("train"):
-            # "train" (flagship b32) or "train:<data_type>:<batch>".
-            _, dt, b = (what.split(":") + ["rgbd_and_mesh", "32"])[:3] \
-                if ":" in what else ("train", "rgbd_and_mesh", "32")
+            # "train" (flagship b32), "train:<data_type>" or
+            # "train:<data_type>:<batch>" — pad per missing field.
+            parts = what.split(":")
+            dt = parts[1] if len(parts) > 1 else "rgbd_and_mesh"
+            b = parts[2] if len(parts) > 2 else "32"
             ms, gflops = _bench_train_step(data_type=dt, batch_size=int(b))
             print(ms, gflops)
         elif what == "loader":

@@ -45,11 +45,12 @@ def resolve_keypose_params(args):
 
 
 def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0,
-                  skip_train: bool = False):
+                  skip_train: bool = False, skip_val: bool = False):
     """``skip_train``: build only the validation loader (train_loader and
     train_sampler come back None) — the packed-dataset mode replaces the
     streaming train feed, so scanning/keypose-detecting the train demos
-    twice would waste host minutes on large datasets."""
+    twice would waste host minutes on large datasets. ``skip_val``:
+    symmetric (pack_dataset never evaluates)."""
     extra, mode = resolve_keypose_params(args)
     weighting = SamplingWeightingType(args.sampling_weighting_type.lower())
     common = dict(
@@ -87,16 +88,18 @@ def build_loaders(args, embodiment, num_shards: int = 1, shard_index: int = 0,
             random_rpy_range_deg=args.random_rpy_range_deg,
             **common,
         )
-    val_loader, _ = get_data_loader_by_data_type(
-        demos=args.demos_valset or args.demos_train,
-        batch_size=args.batch_size_val,
-        sampling_weighting_type=SamplingWeightingType.UNIFORM,
-        # Keep the tail partial batch: a val set smaller than batch_size_val
-        # would otherwise evaluate nothing (the tail shape costs one extra
-        # eval-step compile, paid once).
-        drop_last=False,
-        **common,
-    )
+    val_loader = None
+    if not skip_val:
+        val_loader, _ = get_data_loader_by_data_type(
+            demos=args.demos_valset or args.demos_train,
+            batch_size=args.batch_size_val,
+            sampling_weighting_type=SamplingWeightingType.UNIFORM,
+            # Keep the tail partial batch: a val set smaller than
+            # batch_size_val would otherwise evaluate nothing (the tail
+            # shape costs one extra eval-step compile, paid once).
+            drop_last=False,
+            **common,
+        )
     return train_loader, train_sampler, val_loader
 
 
@@ -168,23 +171,41 @@ def main(argv=None):
     train_loader, _, val_loader = build_loaders(
         args, embodiment, skip_train=bool(args.packed_dataset)
     )
+    trainer = Trainer(
+        model_config, trainer_config, bounds, metric_logger=metric_logger,
+        backbone_weights=args.backbone_weights,
+    )
     if args.packed_dataset:
         from nvblox_mindmap_tpu.data.packed import PackedDeviceLoader
 
+        # Train-time sampling/augmentation happens at pack time; flags on
+        # THIS invocation cannot affect the frozen batches, so refuse them
+        # loudly instead of silently no-op'ing.
+        ignored = [
+            name for name, active in (
+                ("apply_random_transforms", args.apply_random_transforms),
+                ("apply_geometry_noise", args.apply_geometry_noise),
+                ("balance_demo_groups", args.balance_demo_groups),
+                ("sampling_weighting_type",
+                 args.sampling_weighting_type != "uniform"),
+            ) if active
+        ]
+        if ignored:
+            raise ValueError(
+                f"--packed_dataset replays frozen batches; {ignored} have "
+                "no effect here — pass them to pack_dataset instead"
+            )
         # Chip-fed mode: the train feed is a device-staged packed epoch
-        # (one upload, then per-step HBM slices); validation keeps the
-        # streaming loader (it runs rarely and needs drop_last=False).
+        # (one upload, then per-step HBM slices) sharded over the trainer's
+        # data mesh; validation keeps the streaming loader (it runs rarely
+        # and needs drop_last=False).
         train_loader = PackedDeviceLoader(
-            args.packed_dataset, seed=args.seed
+            args.packed_dataset, mesh=trainer.mesh, seed=args.seed
         )
         logger.info(
             "packed train feed: %d batches staged on device from %s",
             len(train_loader), args.packed_dataset,
         )
-    trainer = Trainer(
-        model_config, trainer_config, bounds, metric_logger=metric_logger,
-        backbone_weights=args.backbone_weights,
-    )
 
     params = opt_state = None
     start_iter, best_loss = 0, None

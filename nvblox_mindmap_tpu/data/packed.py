@@ -123,6 +123,16 @@ def materialize_packed_epoch(
                     "(pack training loaders with drop_last=True)"
                 )
             if meta["keys"][key]["rgb_uint8"]:
+                # The uint8 decision is made on batch 0; every later batch
+                # must stay on the 1/255 grid or the cast would silently
+                # corrupt it (np.round(1.2*255)=306 wraps to 50 as uint8).
+                if n > 0 and not _is_exact_uint8_rgb(key, arr):
+                    raise ValueError(
+                        f"{key}: batch {n} is not exactly uint8/255 while "
+                        "batch 0 was; uint8 rgb packing needs every batch "
+                        "on the 1/255 grid (disable photometric transforms "
+                        "or pack as float32)"
+                    )
                 arr = np.round(arr * 255.0).astype(np.uint8)
             writers[key].write(np.ascontiguousarray(arr).tobytes())
         n += 1
@@ -235,6 +245,16 @@ class PackedDeviceLoader:
 
     def __len__(self) -> int:
         return self._n
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle stream to an absolute epoch index.
+
+        The trainer calls this with ``step // epoch_length`` so a run
+        RESUMED from a checkpoint replays the same batch orders the
+        uninterrupted run would have used (plain iteration without
+        ``set_epoch`` falls back to the internal counter).
+        """
+        self._epoch = int(epoch)
 
     def __iter__(self):
         order = np.arange(self._n)

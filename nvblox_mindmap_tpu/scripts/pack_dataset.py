@@ -48,7 +48,7 @@ def main(argv=None):
     from nvblox_mindmap_tpu.embodiments.registry import make_embodiment_for_task
 
     embodiment = make_embodiment_for_task(args.task)
-    train_loader, _, _ = build_loaders(args, embodiment)
+    train_loader, _, _ = build_loaders(args, embodiment, skip_val=True)
     n = args.packed_num_batches or len(train_loader)
 
     def batches():

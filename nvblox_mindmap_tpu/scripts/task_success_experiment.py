@@ -112,6 +112,15 @@ def gen_and_fuse(out: str, num_demos: int, seed: int,
         process_demo,
     )
 
+    if recovery_demos:
+        # Recovery scenes draw from their own seed range; keep it disjoint
+        # from both the standard training scenes and the held-out eval
+        # scenes (a --seed near HELDOUT_SEED-1000 would otherwise record
+        # correctives on the exact scenes heldout_eval measures on).
+        _assert_disjoint_seed_ranges(
+            (seed, num_demos), (seed + 1000, recovery_demos),
+            (HELDOUT_SEED, num_demos),
+        )
     ds = os.path.join(out, "ds")
     total = num_demos + recovery_demos
     # Resume: generation + fusion are deterministic in (seed, N); skip when

@@ -450,6 +450,10 @@ class Trainer:
                         (epoch_idx // cfg.set_epoch_every)
                         * cfg.set_epoch_every
                     )
+                elif hasattr(train_loader, "set_epoch"):
+                    # PackedDeviceLoader: pin the per-epoch shuffle stream to
+                    # the absolute epoch so resume continues the same orders.
+                    train_loader.set_epoch(epoch_idx)
                 train_iter = iter(train_loader)
                 next_device_batch = None
             step_timer = Timer("step")

@@ -168,6 +168,17 @@ def test_experiment_seed_range_guard():
         _assert_disjoint_seed_ranges((1230, 8), (1234, 8))
 
 
+def test_recovery_seed_range_guarded_before_generation(tmp_path):
+    """gen_and_fuse must reject a --seed whose recovery range (seed+1000)
+    collides with the held-out eval scenes — BEFORE generating anything."""
+    from nvblox_mindmap_tpu.scripts.task_success_experiment import gen_and_fuse
+
+    with pytest.raises(AssertionError, match="overlap"):
+        gen_and_fuse(str(tmp_path), num_demos=8, seed=234,
+                     task="cube_stacking", recovery_demos=8)
+    assert not (tmp_path / "ds").exists()  # failed fast, no work done
+
+
 def test_experiment_train_stage_flag_plumbing(monkeypatch, tmp_path):
     """The experiment train stage must forward every data-augmentation flag
     to the training app TOGETHER: the geometry-noise branch used to

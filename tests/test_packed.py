@@ -85,6 +85,30 @@ def test_non_uint8_rgb_keeps_float(tmp_path):
     np.testing.assert_array_equal(got["rgbs"], batches[0]["rgbs"])
 
 
+def test_mixed_uint8_exact_then_inexact_rgb_raises(tmp_path):
+    """The uint8 decision is made on batch 0; a later off-grid batch must
+    fail loudly (quantizing 1.2 would wrap to 50 as uint8)."""
+    batches = _synthetic_batches(n=3)
+    batches[2]["rgbs"] = batches[2]["rgbs"] * 0.7 + 0.001
+    with pytest.raises(ValueError, match="uint8/255"):
+        materialize_packed_epoch(batches, str(tmp_path))
+
+
+def test_packed_loader_set_epoch_resumes_stream(tmp_path):
+    """set_epoch(k) pins the shuffle stream: a loader resumed at epoch k
+    yields exactly the orders the uninterrupted run produced."""
+    materialize_packed_epoch(_synthetic_batches(n=5), str(tmp_path))
+    a = PackedDeviceLoader(str(tmp_path), shuffle=True, seed=7)
+    orders_a = [
+        [np.asarray(b["vertices"]).tobytes() for b in a] for _ in range(3)
+    ]
+    b = PackedDeviceLoader(str(tmp_path), shuffle=True, seed=7)
+    b.set_epoch(2)  # fresh process resuming mid-run
+    orders_b2 = [np.asarray(x["vertices"]).tobytes() for x in b]
+    assert orders_b2 == orders_a[2]
+    assert orders_a[0] != orders_a[2]  # epochs genuinely reshuffle
+
+
 def test_stage_and_device_batch_match_host(tmp_path):
     batches = _synthetic_batches(n=3)
     materialize_packed_epoch(batches, str(tmp_path))
@@ -134,6 +158,58 @@ def test_prepare_inputs_uint8_rgb_equals_float():
         bounds, cfg,
     )
     np.testing.assert_array_equal(np.asarray(a["rgbs"]), np.asarray(b["rgbs"]))
+
+
+def _pack_tiny_dataset(tmp_path):
+    from nvblox_mindmap_tpu.scripts.pack_dataset import main as pack_main
+    from tests.test_data_pipeline import write_arm_demo
+
+    ds = tmp_path / "ds"
+    write_arm_demo(str(ds / "demo_00000"), seed=0)
+    write_arm_demo(str(ds / "demo_00001"), seed=1)
+    out = str(tmp_path / "packed")
+    argv = [
+        "--dataset", str(ds), "--task", "cube_stacking",
+        "--data_type", "mesh", "--feature_type", "rgb",
+        "--demos_train", "0-1", "--batch_size", "4",
+        "--num_vertices_to_sample", "32", "--fps_subsampling_factor", "4",
+        "--embedding_dim", "24", "--diffusion_timesteps", "5",
+        "--packed_out", out,
+    ]
+    return ds, out, argv
+
+
+def test_run_training_packed_mode_app_wiring(tmp_path):
+    """The training APP in --packed_dataset mode: trains from the packed
+    feed (checkpoint produced), and REFUSES train-time sampling flags that
+    cannot affect frozen batches (silent no-op guard)."""
+    import glob as _glob
+
+    from nvblox_mindmap_tpu.apps.run_training import main as train_main
+    from nvblox_mindmap_tpu.scripts.pack_dataset import main as pack_main
+
+    ds, out, argv = _pack_tiny_dataset(tmp_path)
+    pack_main(argv)
+
+    log_dir = str(tmp_path / "logs")
+    train_argv = [
+        "--dataset", str(ds), "--task", "cube_stacking",
+        "--data_type", "mesh", "--feature_type", "rgb",
+        "--demos_train", "0-1", "--batch_size", "4",
+        "--batch_size_val", "4", "--embedding_dim", "24",
+        "--diffusion_timesteps", "5", "--fps_subsampling_factor", "4",
+        "--num_vertices_to_sample", "32", "--train_iters", "2",
+        "--val_freq", "2", "--num_batches_per_test_eval", "1",
+        "--skip_train_val", "1", "--base_log_dir", log_dir,
+        "--seed", "0", "--packed_dataset", out,
+    ]
+    with pytest.raises(ValueError, match="no effect"):
+        train_main(train_argv + ["--apply_geometry_noise", "1"])
+
+    train_main(train_argv)
+    ckpts = {os.path.realpath(p) for p in _glob.glob(
+        os.path.join(log_dir, "checkpoints", "*", "last.ckpt"))}
+    assert len(ckpts) == 1
 
 
 def test_packed_device_loader_feeds_trainer_identically(tmp_path):
