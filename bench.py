@@ -16,6 +16,29 @@
 Primary metric = keypose latency; vs_baseline = 100ms / p50 (>1 is faster
 than target). The fusion rate rides along in the same JSON line. Backbone
 weights are random-initialized - values don't affect timing.
+
+Orchestration contract (the driver runs ``python bench.py`` under a hard
+timeout, so the run must FIT and the JSON line must never be lost — the
+reference's own CI budgets every e2e stage the same way, reference
+tests/utils/e2e_helpers.py:258-259):
+
+- Global wall-clock budget: ``BENCH_BUDGET_S`` (default 2100 s). Measurements
+  run in value order (headline keypose -> fusion -> flagship train -> the
+  rest) and are skipped once the remaining budget can't cover their
+  estimated cost. Every subprocess gets a hard timeout.
+- Incremental state: each completed measurement is persisted to
+  ``/tmp/bench_state_<source-fingerprint>.json``; a later run with unchanged
+  sources reuses ride-along results instead of re-measuring (the headline is
+  always re-measured fresh when budget allows; state is its fallback). A
+  SIGTERM/SIGINT mid-run still prints the JSON line with everything measured
+  so far (the values already in the state file).
+- ``python bench.py --warm``: compile-only pass (populates the persistent
+  XLA compile cache so a following measured run is warm), records nothing.
+- ``python bench.py --smoke``: tiny-shape in-process single-rep run on CPU,
+  printing one JSON line with the headline keys in well under two minutes —
+  pinned by the fast suite so the ONE-JSON-line contract can't silently
+  break (tests/test_bench_smoke.py).
+- ``BENCH_FORCE=1`` ignores the saved state and re-measures everything.
 """
 from __future__ import annotations
 
@@ -33,6 +56,11 @@ def _enable_compilation_cache():
     from nvblox_mindmap_tpu.utils.system import enable_compilation_cache
 
     enable_compilation_cache()
+
+
+def _warm_only() -> bool:
+    """Worker-mode flag: compile/warm up, skip the timed passes."""
+    return os.environ.get("BENCH_WARM") == "1"
 
 def main(data_type: str = "rgbd_and_mesh"):
     _enable_compilation_cache()
@@ -129,6 +157,8 @@ def main(data_type: str = "rgbd_and_mesh"):
     # interference-robust benchmarking - min latency, max rate).
     def measure(fn, n=20, reps=3):
         jax.block_until_ready(fn(params, batch, jax.random.PRNGKey(0)))
+        if _warm_only():
+            return float("nan")
         best = float("inf")
         for _ in range(reps):
             times = []
@@ -145,6 +175,8 @@ def main(data_type: str = "rgbd_and_mesh"):
         # without the per-call host sync round trip.
         b = batch if b is None else b
         jax.block_until_ready(fn(params, b, jax.random.PRNGKey(0)))
+        if _warm_only():
+            return float("nan")
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -209,6 +241,8 @@ def _bench_fusion_hz() -> float:
 
     state = fuse(state)  # warmup/compile
     jax.block_until_ready(state.tsdf)
+    if _warm_only():
+        return float("nan")
     best = 0.0
     for _ in range(3):  # best-of-3: tunnel load varies several-fold
         n = 30
@@ -274,6 +308,8 @@ def _bench_fusion_hz_with_backbone() -> float:
 
     state = fuse_with_backbone(state, params, rgb)  # warmup/compile
     jax.block_until_ready(state.tsdf)
+    if _warm_only():
+        return float("nan")
     best = 0.0
     for _ in range(3):  # best-of-3: tunnel load varies several-fold
         n = 30
@@ -375,6 +411,8 @@ def _bench_train_step(
         params, opt_state, device_batch, 0, on_device=True
     )  # warmup/compile
     jax.block_until_ready(losses["total"])
+    if _warm_only():
+        return float("nan"), -1.0
     best = float("inf")
     for _ in range(3):  # best-of-3: tunnel load varies several-fold
         n = 10
@@ -595,6 +633,8 @@ def _bench_train_e2e(num_steps: int = 500, num_packed: int = 4) -> tuple:
             params, opt_state, device_batch(staged, 0), 0, on_device=True
         )  # warmup/compile
         jax.block_until_ready(losses["total"])
+        if _warm_only():
+            return float("nan"), float("nan"), float("nan")
         t0 = time.perf_counter()
         for step in range(1, num_steps + 1):
             params, opt_state, losses = trainer.train_one_step(
@@ -610,37 +650,453 @@ def _bench_train_e2e(num_steps: int = 500, num_packed: int = 4) -> tuple:
 
 
 def _run_in_subprocess(
-    what: str, retries: int = 2, timeout_s: Optional[float] = None
+    what: str, retries: int = 0, timeout_s: float = 600.0,
+    warm: bool = False,
 ) -> list:
     """Run one measurement in a clean process (device state isolation).
 
     The TPU tunnel occasionally degrades/fails transiently; retry fresh.
+    Every call is hard-bounded by ``timeout_s`` — an unbounded measurement
+    is what cost round 4 its entire bench output.
     """
     import subprocess
     import sys
 
+    env = dict(os.environ)
+    if warm:
+        env["BENCH_WARM"] = "1"
     last_err = None
     for _ in range(retries + 1):
+        proc = subprocess.Popen(
+            [sys.executable, __file__, "--measure", what],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        _ACTIVE_CHILD[0] = proc
         try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--measure", what],
-                capture_output=True,
-                text=True,
-                timeout=timeout_s,
-            )
+            stdout, stderr = proc.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired as e:
+            proc.kill()
+            proc.wait()
             last_err = e
             continue
-        if out.returncode == 0:
+        finally:
+            _ACTIVE_CHILD[0] = None
+        if proc.returncode == 0:
             try:
                 return [
-                    float(v) for v in out.stdout.strip().splitlines()[-1].split()
+                    float(v) for v in stdout.strip().splitlines()[-1].split()
                 ]
             except (ValueError, IndexError) as e:
                 last_err = e
         else:
-            last_err = RuntimeError(out.stderr[-2000:])
+            last_err = RuntimeError(stderr[-2000:])
     raise RuntimeError(f"benchmark '{what}' failed: {last_err}")
+
+
+# The one in-flight measurement child: a SIGTERM to the orchestrator must
+# not orphan it on the chip (it would contend with whatever the driver runs
+# next). _orchestrate's handler kills it before emitting the partial line.
+_ACTIVE_CHILD: list = [None]
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: budget-aware, state-backed, partial-output-safe.
+# ---------------------------------------------------------------------------
+
+def _source_fingerprint() -> str:
+    """Hash of bench.py + the package sources: saved measurements are only
+    reused while the code that produced them is byte-identical."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(f.read())
+    pkg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "nvblox_mindmap_tpu"
+    )
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fn in sorted(files):
+            if fn.endswith((".py", ".cpp", ".h", ".sh")):
+                h.update(fn.encode())
+                with open(os.path.join(root, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _state_path(fp: str) -> str:
+    return f"/tmp/bench_state_{fp}_{os.getuid()}.json"
+
+
+def _load_state(fp: str) -> dict:
+    if os.environ.get("BENCH_FORCE") == "1":
+        return {}
+    try:
+        with open(_state_path(fp)) as f:
+            state = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return state if state.get("fingerprint") == fp else {}
+
+
+def _save_measurement(fp: str, name: str, values: list,
+                      wall_s: float) -> None:
+    """Atomic read-modify-write so a kill mid-save never corrupts state."""
+    state = _load_state(fp) or {"fingerprint": fp, "measurements": {}}
+    state["measurements"][name] = {
+        "values": values, "wall_s": round(wall_s, 1), "ts": time.time(),
+    }
+    tmp = _state_path(fp) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _state_path(fp))
+
+
+# (name, --measure arg, expected value count, estimated warm cost s,
+#  per-subprocess timeout s) in VALUE ORDER: the headline first, then the
+# cheap always-reported secondaries, then the expensive train points. The
+# budget loop stops adding ride-alongs once the remaining budget can't
+# cover a spec's estimate.
+_SPECS = [
+    ("keypose", "keypose", 5, 420, 1200),
+    ("fusion", "fusion", 1, 60, 420),
+    ("fusion_backbone", "fusion_backbone", 1, 90, 600),
+    ("train_flagship", "train:rgbd_and_mesh:32", 2, 300, 1500),
+    ("keypose_mesh", "keypose_mesh", 5, 240, 900),
+    ("train_e2e", "train_e2e", 3, 600, 1500),
+    ("train_mesh", "train:mesh:32", 2, 180, 900),
+    ("train_b64", "train:rgbd_and_mesh:64", 2, 300, 1200),
+    ("train_b128", "train:rgbd_and_mesh:128", 2, 400, 1200),
+    ("loader", "loader", 1, 420, 1200),
+    ("train_b256", "train:rgbd_and_mesh:256", 2, 500, 1200),
+]
+_WARM_SPECS = [s for s in _SPECS if s[0] not in ("loader", "train_e2e")]
+
+
+def _collect(budget_s: float) -> tuple:
+    """Run the measurement chain under a global wall-clock budget.
+
+    Returns (results, reused, skipped): results maps spec name -> value
+    list; completed measurements persist to the state file immediately, so
+    a kill at any point loses at most the in-flight measurement.
+    """
+    import sys
+
+    fp = _source_fingerprint()
+    saved = _load_state(fp).get("measurements", {})
+    deadline = time.monotonic() + budget_s
+    results, reused, skipped = {}, [], []
+    for name, what, nvals, est_s, timeout_s in _SPECS:
+        remaining = deadline - time.monotonic()
+        prior = saved.get(name, {}).get("values")
+        if prior is not None and len(prior) == nvals:
+            # The headline is re-measured fresh whenever the budget allows
+            # (state is only its fallback); ride-alongs reuse saved values.
+            if name != "keypose" or remaining < est_s:
+                results[name] = prior
+                reused.append(name)
+                continue
+        if remaining < est_s:
+            skipped.append(name)
+            print(
+                f"bench: skipping {name} ({remaining:.0f}s left "
+                f"< {est_s}s estimate)", file=sys.stderr,
+            )
+            continue
+        t0 = time.monotonic()
+        try:
+            values = _run_in_subprocess(
+                what,
+                retries=1 if name == "keypose" else 0,
+                timeout_s=min(timeout_s, max(remaining - 30.0, 60.0)),
+            )
+        except RuntimeError as e:
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            if prior is not None and len(prior) == nvals:
+                results[name] = prior
+                reused.append(name)
+            else:
+                skipped.append(name)
+            continue
+        results[name] = values
+        _save_measurement(fp, name, values, time.monotonic() - t0)
+    return results, reused, skipped
+
+
+def _assemble(results: dict, reused: list, skipped: list,
+              wall_s: float) -> dict:
+    """The ONE JSON line, from whatever subset of measurements exists."""
+    def get(name, i=0):
+        vals = results.get(name)
+        return vals[i] if vals is not None and len(vals) > i else None
+
+    def rnd(v, nd=3):
+        return round(v, nd) if v is not None else None
+
+    p50_ms = get("keypose", 0)
+    fusion_hz = get("fusion", 0)
+    fusion_backbone_hz = get("fusion_backbone", 0)
+
+    def train_point(name, batch):
+        ms, gflops = get(name, 0), get(name, 1)
+        if ms is None:
+            return None
+        point = {
+            "step_ms": round(ms, 3),
+            "samples_per_s": round(batch * 1000.0 / ms, 1),
+        }
+        if gflops and gflops > 0:
+            tflops = gflops / ms  # GFLOP / ms == TFLOP/s
+            point["tflops_per_s"] = round(tflops, 2)
+            # Roofline helper: achieved TFLOP/s and MFU vs the chip's bf16
+            # peak (TPU v5e = 197 TFLOP/s; the step runs mixed fp32/bf16,
+            # so this is a conservative utilization bound).
+            point["mfu_pct_vs_v5e_bf16_peak"] = round(
+                100.0 * tflops * 1e12 / 197e12, 2
+            )
+        return point
+
+    train_flagship = train_point("train_flagship", 32)
+    train_scaling = {}
+    for b in (64, 128, 256):
+        pt = train_point(f"train_b{b}", b)
+        if pt is not None:
+            train_scaling[str(b)] = pt
+    train_step_ms = train_flagship["step_ms"] if train_flagship else None
+    e2e_sps, e2e_upload_s, e2e_mat_s = (
+        get("train_e2e", 0), get("train_e2e", 1), get("train_e2e", 2)
+    )
+    loader_sps = get("loader", 0)
+    loader_parallelism = max(
+        1, min(LOADER_BENCH_WORKERS, os.cpu_count() or 1)
+    )
+    serving_b8_ms = get("keypose", 4)
+    return {
+        "metric": "keypose_prediction_latency_p50",
+        "value": rnd(p50_ms),
+        "unit": "ms",
+        "vs_baseline": rnd(100.0 / p50_ms) if p50_ms else None,
+        "ddim10_latency_ms": rnd(get("keypose", 1)),
+        "pipelined_keypose_ms": rnd(get("keypose", 2)),
+        "pipelined_ddim10_ms": rnd(get("keypose", 3)),
+        "serving_ddim10_b8_keyposes_per_s": (
+            round(8000.0 / serving_b8_ms, 1) if serving_b8_ms else None
+        ),
+        "mesh_only_p50_ms": rnd(get("keypose_mesh", 0)),
+        "mesh_only_ddim10_ms": rnd(get("keypose_mesh", 1)),
+        "mesh_only_pipelined_ms": rnd(get("keypose_mesh", 2)),
+        "fusion_hz": rnd(fusion_hz, 1),
+        "fusion_hz_vs_target": (
+            round(fusion_hz / 30.0, 2) if fusion_hz else None
+        ),
+        "fusion_hz_with_backbone": rnd(fusion_backbone_hz, 1),
+        "fusion_hz_with_backbone_vs_target": (
+            round(fusion_backbone_hz / 30.0, 2)
+            if fusion_backbone_hz else None
+        ),
+        # Flagship = the reference's training default (rgbd_and_mesh,
+        # frozen backbone forward inside the step).
+        "train_step_ms_b32_flagship": train_step_ms,
+        "train_samples_per_s": (
+            train_flagship["samples_per_s"] if train_flagship else None
+        ),
+        "train_step_tflops_per_s": (
+            train_flagship.get("tflops_per_s") if train_flagship else None
+        ),
+        "train_mfu_pct_vs_v5e_bf16_peak": (
+            train_flagship.get("mfu_pct_vs_v5e_bf16_peak")
+            if train_flagship else None
+        ),
+        "train_step_ms_b32_mesh": rnd(get("train_mesh", 0)),
+        # Batch-scaling sweep (flagship shape): where does the chip
+        # saturate? Keys are batch sizes.
+        "train_batch_scaling": train_scaling or None,
+        # Chip-fed e2e: 500 sustained flagship steps from a device-staged
+        # packed epoch (data/packed.py); the ratio vs the device-only step
+        # rate is the contract (>= 0.8).
+        "train_e2e_samples_per_s": rnd(e2e_sps, 1),
+        "train_e2e_vs_device_only": (
+            round(e2e_sps / train_flagship["samples_per_s"], 3)
+            if e2e_sps and train_flagship else None
+        ),
+        "train_e2e_stage_upload_s": rnd(e2e_upload_s, 1),
+        "train_e2e_materialize_s": rnd(e2e_mat_s, 1),
+        # Host input pipeline is CPU-parallel (loader worker pool). The
+        # measurement runs a fixed LOADER_BENCH_WORKERS-worker pool;
+        # normalize by the pool's EFFECTIVE parallelism min(workers, cores)
+        # - not bare os.cpu_count(), which on a many-core host would
+        # understate per-worker throughput and overstate the workers needed
+        # to saturate the device step.
+        "loader_samples_per_s_per_worker": (
+            round(loader_sps / loader_parallelism, 1) if loader_sps else None
+        ),
+        "loader_bench_workers": LOADER_BENCH_WORKERS,
+        "loader_host_cores": os.cpu_count(),
+        "loader_workers_to_saturate_train": (
+            round(
+                (32000.0 / train_step_ms)
+                / (loader_sps / loader_parallelism),
+                1,
+            )
+            if loader_sps and train_step_ms else None
+        ),
+        # Run provenance: which ride-alongs came from the state file
+        # (unchanged sources, measured by an earlier run on this machine)
+        # and which were skipped for budget.
+        "bench_wall_s": round(wall_s, 1),
+        "reused_from_state": reused or None,
+        "skipped_for_budget": skipped or None,
+    }
+
+
+def _orchestrate() -> None:
+    """Full measured run: budget-bounded, kill-safe single-line output."""
+    import signal
+    import sys
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+    t0 = time.monotonic()
+    printed = [False]
+    results_box = {"results": {}, "reused": [], "skipped": []}
+
+    def emit():
+        if printed[0]:
+            return
+        printed[0] = True
+        # Anything persisted by THIS or an earlier run still publishes: the
+        # state file is the source of truth for completed measurements.
+        fp = _source_fingerprint()
+        saved = _load_state(fp).get("measurements", {})
+        merged = dict(results_box["results"])
+        reused = list(results_box["reused"])
+        for name, _, nvals, _, _ in _SPECS:
+            vals = saved.get(name, {}).get("values")
+            if name not in merged and vals is not None and len(vals) == nvals:
+                merged[name] = vals
+                reused.append(name)
+        skipped = [s for s in results_box["skipped"] if s not in merged]
+        print(json.dumps(_assemble(
+            merged, reused, skipped, time.monotonic() - t0
+        )))
+        sys.stdout.flush()
+
+    def on_term(signum, frame):
+        child = _ACTIVE_CHILD[0]
+        if child is not None:
+            try:
+                child.kill()
+            except OSError:
+                pass
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, on_term)
+    try:
+        results, reused, skipped = _collect(budget_s)
+        results_box.update(results=results, reused=reused, skipped=skipped)
+    finally:
+        emit()
+
+
+def _smoke() -> None:
+    """Tiny-shape in-process run on CPU: same JSON-line shape, < 2 minutes.
+
+    Exists so the fast suite can pin the driver contract ("bench.py prints
+    ONE JSON line with the headline keys") without TPU access or the full
+    measurement cost — the contract silently breaking is what round 4 shipped.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    _enable_compilation_cache()
+
+    from nvblox_mindmap_tpu.models.diffuser_actor import (
+        DiffuserActor,
+        DiffuserActorConfig,
+        prepare_inputs,
+        sample_trajectory,
+    )
+    from nvblox_mindmap_tpu.models.feature_extractors import FeatureExtractorType
+
+    cfg = DiffuserActorConfig(
+        embedding_dim=48,
+        num_attn_heads=4,
+        data_type="mesh",
+        feature_type=FeatureExtractorType.RGB,
+        diffusion_timesteps=8,
+        fps_subsampling_factor=4,
+    )
+    model = DiffuserActor(cfg)
+    bounds = jnp.asarray(
+        [[-0.37, -0.75, -0.13], [0.95, 0.75, 0.65]], dtype=jnp.float32
+    )
+    rng = np.random.default_rng(0)
+    B, NV, FD = 1, 128, 3
+    pos = rng.uniform(-0.3, 0.6, size=(B, 3, 1, 3))
+    quat = rng.normal(size=(B, 3, 1, 4))
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    close = rng.integers(0, 2, size=(B, 3, 1, 1)).astype(np.float64)
+    batch = {
+        "gripper_history": jnp.asarray(
+            np.concatenate([pos, quat, close], -1), dtype=jnp.float32
+        ),
+        "vertices": jnp.asarray(
+            rng.uniform(-0.3, 0.6, size=(B, NV, 3)), dtype=jnp.float32
+        ),
+        "vertex_features": jnp.asarray(
+            rng.normal(size=(B, NV, FD)), dtype=jnp.float32
+        ),
+        "vertices_valid_mask": jnp.ones((B, NV), dtype=bool),
+    }
+    noisy = jnp.zeros((B, 1, 1, 9))
+    ts = jnp.zeros((B,), dtype=jnp.int32)
+
+    @jax.jit
+    def init_fn(key, raw_batch):
+        prepared = prepare_inputs(raw_batch, bounds, cfg)
+        return model.init(key, prepared, noisy, ts)
+
+    variables = init_fn(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def predict(params, b, key):
+        prepared = prepare_inputs(b, bounds, cfg)
+        traj, _, _ = sample_trajectory(
+            model, {"params": params}, prepared, key, bounds
+        )
+        return traj
+
+    params = variables["params"]
+    jax.block_until_ready(predict(params, batch, jax.random.PRNGKey(0)))
+    times = []
+    for i in range(3):
+        t_start = time.perf_counter()
+        jax.block_until_ready(predict(params, batch, jax.random.PRNGKey(i)))
+        times.append(time.perf_counter() - t_start)
+    p50 = float(np.percentile(times, 50) * 1000)
+    line = _assemble({"keypose": [p50, None, None, None, None]}, [], [], 0.0)
+    line["smoke"] = True
+    print(json.dumps(line))
+
+
+def _warm() -> None:
+    """Compile-only pass: populate the persistent XLA compile cache so the
+    driver's measured run (same sources, same cache dir) starts warm."""
+    import sys
+
+    for name, what, _, _, _ in _WARM_SPECS:
+        t0 = time.monotonic()
+        try:
+            _run_in_subprocess(what, timeout_s=3600, warm=True)
+            print(
+                f"warm: {name} compiled in {time.monotonic() - t0:.0f}s",
+                file=sys.stderr,
+            )
+        except RuntimeError as e:
+            print(f"warm: {name} FAILED: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
@@ -673,178 +1129,9 @@ if __name__ == "__main__":
             print(_bench_loader_samples_per_s())
         else:
             print(_bench_fusion_hz())
+    elif "--smoke" in sys.argv:
+        _smoke()
+    elif "--warm" in sys.argv:
+        _warm()
     else:
-        (p50_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms,
-         serving_b8_ms) = _run_in_subprocess("keypose")
-        # Everything past the headline keypose metric is best-effort: a
-        # ride-along measurement failing (degraded tunnel, cold cache) must
-        # never cost the driver-tracked JSON line itself.
-        try:
-            (mesh_p50_ms, mesh_ddim_ms, mesh_pipelined_ms, _mesh_pddim,
-             _mesh_b8) = _run_in_subprocess("keypose_mesh")
-        except RuntimeError:
-            mesh_p50_ms = mesh_ddim_ms = mesh_pipelined_ms = None
-        try:
-            (fusion_hz,) = _run_in_subprocess("fusion")
-        except RuntimeError:
-            fusion_hz = None
-        try:
-            (fusion_backbone_hz,) = _run_in_subprocess("fusion_backbone")
-        except RuntimeError:
-            fusion_backbone_hz = None
-        # Train-step metrics are best-effort: the flagship fwd+bwd program's
-        # first compile can exceed the round budget on a cold cache; the
-        # headline (driver-tracked) metrics must never be lost to it.
-        # Roofline helper: achieved TFLOP/s and MFU vs the chip's bf16 peak
-        # (TPU v5e = 197 TFLOP/s; the step runs mixed fp32/bf16, so this is
-        # a conservative utilization bound).
-        def train_point(what, batch, timeout_s):
-            try:
-                ms, gflops = _run_in_subprocess(
-                    what, retries=0, timeout_s=timeout_s
-                )
-            except RuntimeError:
-                return None
-            point = {
-                "step_ms": round(ms, 3),
-                "samples_per_s": round(batch * 1000.0 / ms, 1),
-            }
-            if gflops and gflops > 0:
-                tflops = gflops / ms  # GFLOP / ms == TFLOP/s
-                point["tflops_per_s"] = round(tflops, 2)
-                point["mfu_pct_vs_v5e_bf16_peak"] = round(
-                    100.0 * tflops * 1e12 / 197e12, 2
-                )
-            return point
-
-        # The reference's training default (RGBD_AND_MESH, frozen backbone
-        # forward inside the step) is the primary train metric; mesh-only is
-        # the lighter secondary config. The batch sweep maps where samples/s
-        # and MFU saturate (the docs' roofline story: per-op overhead bound
-        # at small shapes, batching is the throughput lever).
-        train_flagship = train_point("train:rgbd_and_mesh:32", 32, 2700)
-        train_mesh = train_point("train:mesh:32", 32, 1800)
-        train_scaling = {}
-        for b in (64, 128, 256):
-            pt = train_point(f"train:rgbd_and_mesh:{b}", b, 1800)
-            if pt is None:
-                break  # larger batches only get slower to compile / OOM
-            train_scaling[str(b)] = pt
-        train_step_ms = train_flagship["step_ms"] if train_flagship else None
-        # Chip-fed end-to-end: materialize (real data path) -> HBM staging
-        # -> 500 sustained steps slicing batches on device.
-        try:
-            e2e_sps, e2e_upload_s, e2e_mat_s = _run_in_subprocess(
-                "train_e2e", retries=0, timeout_s=3000
-            )
-        except RuntimeError:
-            e2e_sps = e2e_upload_s = e2e_mat_s = None
-        try:
-            (loader_sps,) = _run_in_subprocess(
-                "loader", retries=0, timeout_s=1800
-            )
-        except RuntimeError:
-            loader_sps = None
-        loader_parallelism = max(
-            1, min(LOADER_BENCH_WORKERS, os.cpu_count() or 1)
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": "keypose_prediction_latency_p50",
-                    "value": round(p50_ms, 3),
-                    "unit": "ms",
-                    "vs_baseline": round(100.0 / p50_ms, 3),
-                    "ddim10_latency_ms": round(ddim_ms, 3),
-                    "pipelined_keypose_ms": round(pipelined_ms, 3),
-                    "pipelined_ddim10_ms": round(pipelined_ddim_ms, 3),
-                    "serving_ddim10_b8_keyposes_per_s": round(
-                        8000.0 / serving_b8_ms, 1
-                    ),
-                    "mesh_only_p50_ms": (
-                        round(mesh_p50_ms, 3) if mesh_p50_ms else None
-                    ),
-                    "mesh_only_ddim10_ms": (
-                        round(mesh_ddim_ms, 3) if mesh_ddim_ms else None
-                    ),
-                    "mesh_only_pipelined_ms": (
-                        round(mesh_pipelined_ms, 3)
-                        if mesh_pipelined_ms else None
-                    ),
-                    "fusion_hz": round(fusion_hz, 1) if fusion_hz else None,
-                    "fusion_hz_vs_target": (
-                        round(fusion_hz / 30.0, 2) if fusion_hz else None
-                    ),
-                    "fusion_hz_with_backbone": (
-                        round(fusion_backbone_hz, 1)
-                        if fusion_backbone_hz else None
-                    ),
-                    "fusion_hz_with_backbone_vs_target": (
-                        round(fusion_backbone_hz / 30.0, 2)
-                        if fusion_backbone_hz else None
-                    ),
-                    # Flagship = the reference's training default
-                    # (rgbd_and_mesh, frozen backbone inside the step).
-                    "train_step_ms_b32_flagship": (
-                        train_flagship["step_ms"] if train_flagship else None
-                    ),
-                    "train_samples_per_s": (
-                        train_flagship["samples_per_s"]
-                        if train_flagship else None
-                    ),
-                    "train_step_tflops_per_s": (
-                        train_flagship.get("tflops_per_s")
-                        if train_flagship else None
-                    ),
-                    "train_mfu_pct_vs_v5e_bf16_peak": (
-                        train_flagship.get("mfu_pct_vs_v5e_bf16_peak")
-                        if train_flagship else None
-                    ),
-                    "train_step_ms_b32_mesh": (
-                        train_mesh["step_ms"] if train_mesh else None
-                    ),
-                    # Batch-scaling sweep (flagship shape): where does the
-                    # chip saturate? Keys are batch sizes.
-                    "train_batch_scaling": train_scaling or None,
-                    # Chip-fed e2e: 500 sustained flagship steps from a
-                    # device-staged packed epoch (data/packed.py); the ratio
-                    # vs the device-only step rate is the contract (>= 0.8).
-                    "train_e2e_samples_per_s": (
-                        round(e2e_sps, 1) if e2e_sps else None
-                    ),
-                    "train_e2e_vs_device_only": (
-                        round(
-                            e2e_sps / train_flagship["samples_per_s"], 3
-                        )
-                        if e2e_sps and train_flagship else None
-                    ),
-                    "train_e2e_stage_upload_s": (
-                        round(e2e_upload_s, 1) if e2e_upload_s else None
-                    ),
-                    "train_e2e_materialize_s": (
-                        round(e2e_mat_s, 1) if e2e_mat_s else None
-                    ),
-                    # Host input pipeline is CPU-parallel (loader worker
-                    # pool). The measurement runs a fixed
-                    # LOADER_BENCH_WORKERS-worker pool; normalize by the
-                    # pool's EFFECTIVE parallelism min(workers, cores) - not
-                    # bare os.cpu_count(), which on a many-core host would
-                    # understate per-worker throughput and overstate the
-                    # workers needed to saturate the device step.
-                    "loader_samples_per_s_per_worker": (
-                        round(loader_sps / loader_parallelism, 1)
-                        if loader_sps else None
-                    ),
-                    "loader_bench_workers": LOADER_BENCH_WORKERS,
-                    "loader_host_cores": os.cpu_count(),
-                    "loader_workers_to_saturate_train": (
-                        round(
-                            (32000.0 / train_step_ms)
-                            / (loader_sps / loader_parallelism),
-                            1,
-                        )
-                        if loader_sps and train_step_ms else None
-                    ),
-                }
-            )
-        )
+        _orchestrate()
