@@ -356,6 +356,10 @@ def _bench_train_step(
                       else FeatureExtractorType.RGB),
         diffusion_timesteps=100,
         fps_subsampling_factor=5,
+        # Above b32 the unchunked frozen-ViT forward's activation peak
+        # exceeds one chip's 16 GB HBM (measured: b64 OOM); chunking the
+        # frozen forward (no backward to recompute) restores the sweep.
+        backbone_chunk_images=(64 if uses_rgb and batch_size > 32 else None),
     )
     B, NV, FD = batch_size, 2048, 768
     NCAM, IMG = 2, 512  # arm default: wrist + table cams at 512x512

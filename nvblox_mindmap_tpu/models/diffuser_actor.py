@@ -53,6 +53,9 @@ class DiffuserActorConfig:
     feature_image_size: Tuple[int, int] = (32, 32)
     # CLS/register token count of the ViT backbone (None = hub default).
     feature_num_prefix_tokens: Optional[int] = None
+    # Frozen-backbone forward in chunks of N images (memory lever for large
+    # train batches; see Encoder.backbone_chunk_images). None = full width.
+    backbone_chunk_images: Optional[int] = None
     fps_subsampling_factor: int = 5
     use_fps: bool = True
     use_instruction: bool = False
@@ -116,6 +119,7 @@ class DiffuserActor(nn.Module):
             feature_num_prefix_tokens=cfg.feature_num_prefix_tokens,
             use_shared_feature_encoder=cfg.use_shared_feature_encoder,
             dropout=cfg.encoder_dropout,
+            backbone_chunk_images=cfg.backbone_chunk_images,
         )
         self.head = DiffusionHead(
             embedding_dim=cfg.embedding_dim,
@@ -401,6 +405,8 @@ def sample_trajectory(
     scheduler_kind: str = "ddpm",
     stochastic: bool = True,
     normalized: bool = False,
+    timestep_spacing: str = "leading",
+    clip_sample: Optional[bool] = None,
 ):
     """Full reverse-diffusion sampling as one lax.scan.
 
@@ -410,9 +416,17 @@ def sample_trajectory(
     With ``normalized=True`` the trajectory is returned in normalized space
     (B, L, G, 10: pos3+6D+openness logit) without unnormalize/relative
     restore - the trainer's eval path computes losses there.
+    ``timestep_spacing``/``clip_sample`` expose the serving-mode sampler
+    knobs (schedulers.DiffusionSchedule.timesteps docstring; clip_sample
+    None keeps the schedule's default, True in training parity).
     """
     cfg = model.config
     pos_sched, rot_sched = cfg.schedules(kind=scheduler_kind)
+    if clip_sample is not None:
+        import dataclasses as _dc
+
+        pos_sched = _dc.replace(pos_sched, clip_sample=clip_sample)
+        rot_sched = _dc.replace(rot_sched, clip_sample=clip_sample)
     fixed = model.apply(
         variables,
         prepared.get("rgbs"),
@@ -429,7 +443,9 @@ def sample_trajectory(
 
     B = prepared["gripper_history"].shape[0]
     L, G = cfg.prediction_horizon, cfg.ngrippers
-    timesteps = pos_sched.timesteps(num_inference_steps)  # (T,) descending
+    timesteps = pos_sched.timesteps(
+        num_inference_steps, spacing=timestep_spacing
+    )  # (T,) descending
     T = timesteps.shape[0]
     step_ratio = cfg.diffusion_timesteps // T
 

@@ -50,6 +50,14 @@ class Encoder(nn.Module):
     feature_num_prefix_tokens: Optional[int] = None
     use_shared_feature_encoder: bool = False
     dropout: float = 0.0
+    # Run the FROZEN backbone forward over (B*ncam) images in chunks of this
+    # many images via nn.scan (params broadcast, so the checkpoint tree is
+    # unchanged). The backbone's backward pass is pruned by stop_gradient
+    # (feature_extractors.py freeze_backbone), so chunking cuts its live
+    # activation peak ~linearly with zero recompute cost — what lets the
+    # flagship rgbd train step fit batch 64+ in one chip's 16 GB HBM
+    # (unchunked b64 exceeds it). None = single full-width forward.
+    backbone_chunk_images: Optional[int] = None
 
     def setup(self):
         uses_rgb = self.data_type in ("rgbd", "rgbd_and_mesh")
@@ -126,7 +134,25 @@ class Encoder(nn.Module):
         """
         B, ncam, H, W, _ = rgb.shape
         flat_rgb = rgb.reshape(B * ncam, H, W, 3)
-        feats = self.feature_extractor(flat_rgb)  # (B*ncam, h, w, C)
+        chunk = self.backbone_chunk_images
+        if chunk and B * ncam > chunk and (B * ncam) % chunk == 0:
+            # Sequential chunks over the frozen backbone: scan's per-step
+            # buffers hold one chunk's ViT activations instead of all
+            # B*ncam images' at once. variable_broadcast keeps the params
+            # out of the scan carry (and the param tree identical to the
+            # unchunked module, so checkpoints interchange freely).
+            chunked = flat_rgb.reshape(
+                (B * ncam) // chunk, chunk, H, W, 3
+            )
+            scan_extract = nn.scan(
+                lambda mdl, carry, x: (carry, mdl(x)),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+            )
+            _, feats = scan_extract(self.feature_extractor, None, chunked)
+            feats = feats.reshape((B * ncam,) + feats.shape[2:])
+        else:
+            feats = self.feature_extractor(flat_rgb)  # (B*ncam, h, w, C)
         h, w = feats.shape[1:3]
         feats = self.image_feature_encoder(feats)
 

@@ -62,14 +62,31 @@ class DiffusionSchedule:
     def num_train_timesteps(self) -> int:
         return self.betas.shape[0]
 
-    def timesteps(self, num_inference_steps: Optional[int] = None) -> jnp.ndarray:
-        """Descending inference timesteps ("leading" spacing, as diffusers)."""
+    def timesteps(self, num_inference_steps: Optional[int] = None,
+                  spacing: str = "leading") -> jnp.ndarray:
+        """Descending inference timesteps.
+
+        ``leading`` is diffusers' default (what the reference's converted
+        DDIM runs): [0, r, 2r, ...] reversed — the chain STARTS at
+        t = T - r, so the pure-noise init is treated as a partially-denoised
+        sample (an SNR mismatch that grows with the step ratio; Lin et al.,
+        "Common Diffusion Noise Schedules and Sampler Steps are Flawed").
+        ``trailing`` starts at t = T-1 where the init really is pure noise:
+        [T-1, T-1-r, ...] — measurably better for few-step sampling of the
+        small scene-world policies (docs/pages/benchmarks.md, DDIM serving
+        section).
+        """
         T = self.num_train_timesteps
         n = num_inference_steps or T
         assert n <= T
         step_ratio = T // n
-        ts = (np.arange(0, n) * step_ratio).round().astype(np.int64)[::-1].copy()
-        return jnp.asarray(ts)
+        if spacing == "leading":
+            ts = (np.arange(0, n) * step_ratio).round().astype(np.int64)[::-1]
+        elif spacing == "trailing":
+            ts = np.arange(T, 0, -step_ratio).round().astype(np.int64) - 1
+        else:
+            raise ValueError(f"unknown timestep spacing: {spacing!r}")
+        return jnp.asarray(ts.copy())
 
     def add_noise(self, x0: jnp.ndarray, noise: jnp.ndarray,
                   t: jnp.ndarray) -> jnp.ndarray:
@@ -108,11 +125,16 @@ class DiffusionSchedule:
         x0 = self._pred_x0(eps, t, sample)
 
         if self.kind == "ddim":
-            # Re-derive eps from the (possibly clipped) x0 so the (x0, eps)
-            # pair stays consistent - matches diffusers' DDIM when
-            # clip_sample is on.
-            eps_used = (sample - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
-            return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps_used
+            # diffusers DDIMScheduler.step semantics at the reference's call
+            # site (diffuser_actor.py:392-396 passes no use_clipped_model_
+            # output, so it stays False): the x0 term uses the CLIPPED x0,
+            # the direction term uses the RAW predicted eps. The previous
+            # re-derivation of eps from the clipped x0 was the
+            # use_clipped_model_output=True (Glide) variant — a small but
+            # real parity divergence (measured ~1% open-loop effect on the
+            # drill_in_box sweep; the sampler-quality story lives in the
+            # timestep-spacing / clip_sample knobs, see timesteps()).
+            return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps
 
         # DDPM posterior mean.
         alpha_t = abar_t / abar_prev

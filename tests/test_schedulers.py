@@ -69,3 +69,28 @@ def test_ddpm_stochastic_step_runs():
     out = sched.step(eps, jnp.asarray(50), xt, key=jax.random.PRNGKey(0))
     assert out.shape == (2, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_step_uses_raw_eps_with_clipped_x0():
+    """Parity with diffusers DDIMScheduler.step at the reference's call site
+    (use_clipped_model_output stays False, diffuser_actor.py:392-396): when
+    the predicted x0 clips, the x0 term uses the clipped value but the
+    direction term keeps the RAW predicted eps - NOT the Glide variant that
+    re-derives eps from the clipped x0 (use_clipped_model_output=True),
+    which this test pins out."""
+    sched = make_schedule("scaled_linear", 100, kind="ddim")
+    t = jnp.asarray(90)
+    prev_t = jnp.asarray(80)
+    xt = jnp.full((1, 3), 2.5, dtype=jnp.float32)
+    eps = jnp.full((1, 3), 0.1, dtype=jnp.float32)
+    abar_t = float(sched.alphas_cumprod[90])
+    abar_prev = float(sched.alphas_cumprod[80])
+    x0_unclipped = (2.5 - np.sqrt(1 - abar_t) * 0.1) / np.sqrt(abar_t)
+    assert x0_unclipped > 1.0, "test must exercise the clip branch"
+    out = np.asarray(sched.step(eps, t, xt, key=None, prev_t=prev_t))
+    expected = np.sqrt(abar_prev) * 1.0 + np.sqrt(1 - abar_prev) * 0.1
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+    # ... and NOT the re-derived-eps (Glide) value.
+    eps_rederived = (2.5 - np.sqrt(abar_t) * 1.0) / np.sqrt(1 - abar_t)
+    glide = np.sqrt(abar_prev) * 1.0 + np.sqrt(1 - abar_prev) * eps_rederived
+    assert abs(float(out[0, 0]) - glide) > 1e-3
