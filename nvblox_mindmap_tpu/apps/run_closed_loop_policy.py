@@ -159,6 +159,7 @@ def main(argv=None, environment: str = "kinematic"):
             num_prediction_samples=args.prediction_samples,
             num_inference_steps=args.serving_num_inference_steps,
             scheduler_kind=args.serving_scheduler,
+            timestep_spacing=args.serving_timestep_spacing,
             # DDIM serves deterministic (eta=0, the benchmarked production
             # config); DDPM keeps the reference's stochastic sampling.
             stochastic_sampling=(args.serving_scheduler == "ddpm"),

@@ -170,6 +170,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         scheduler_kind: str = "ddpm",
         stochastic_sampling: bool = True,
         num_prediction_samples: int = 1,
+        timestep_spacing: str = "leading",
     ):
         """``num_inference_steps``/``scheduler_kind``/``stochastic_sampling``
         select the reverse-diffusion sampler. Defaults match the reference
@@ -196,6 +197,11 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         self.model = model
         self.num_inference_steps = num_inference_steps
         self.scheduler_kind = scheduler_kind
+        # "trailing" starts the few-step chain at t=T-1 where the init is
+        # actually pure noise (schedulers.DiffusionSchedule.timesteps);
+        # measurably the better DDIM-10 serving config on the scene-world
+        # policies (docs/pages/benchmarks.md, DDIM serving section).
+        self.timestep_spacing = timestep_spacing
         self.stochastic_sampling = stochastic_sampling
         assert num_prediction_samples >= 1, num_prediction_samples
         self.num_prediction_samples = num_prediction_samples
@@ -398,6 +404,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
             n_steps = self.num_inference_steps
             kind = self.scheduler_kind
             stochastic = self.stochastic_sampling
+            spacing = self.timestep_spacing
 
             @jax.jit
             def infer(params, batch, key):
@@ -405,7 +412,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
                 return sample_trajectory(
                     model, {"params": params}, prepared, key, bounds,
                     num_inference_steps=n_steps, scheduler_kind=kind,
-                    stochastic=stochastic,
+                    stochastic=stochastic, timestep_spacing=spacing,
                 )
 
             self._infer = infer

@@ -462,7 +462,8 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
                 ds_subdir: str = "ds",
                 summary_name: str = "closed_loop_summary.json",
                 num_inference_steps: int | None = None,
-                scheduler: str = "ddpm") -> Dict:
+                scheduler: str = "ddpm",
+                timestep_spacing: str = "leading") -> Dict:
     """``scheduler``/``num_inference_steps`` select the reverse-diffusion
     sampler: defaults reproduce the reference's closed-loop protocol (full
     stochastic DDPM at the training timestep count); ``--scheduler ddim
@@ -496,6 +497,7 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
             num_prediction_samples=prediction_samples,
             num_inference_steps=num_inference_steps,
             scheduler_kind=scheduler,
+            timestep_spacing=timestep_spacing,
             # DDIM's deterministic (eta=0) variant is the serving config
             # benchmarked in bench.py; DDPM keeps the reference's
             # stochastic sampling.
@@ -532,7 +534,8 @@ def heldout_eval(out: str, num_demos: int, checkpoint: str,
                  prediction_samples: int = 1,
                  train_seed: int = 21,
                  num_inference_steps: int | None = None,
-                 scheduler: str = "ddpm") -> Dict:
+                 scheduler: str = "ddpm",
+                 timestep_spacing: str = "leading") -> Dict:
     """Closed-loop success on FRESHLY RANDOMIZED scenes (generalization).
 
     The reference's closed-loop protocol replays the training demos' initial
@@ -563,6 +566,7 @@ def heldout_eval(out: str, num_demos: int, checkpoint: str,
         prediction_samples=prediction_samples, ds_subdir="heldout_ds",
         summary_name=f"heldout_closed_loop_summary{suffix}.json",
         num_inference_steps=num_inference_steps, scheduler=scheduler,
+        timestep_spacing=timestep_spacing,
     )
 
 
@@ -629,6 +633,14 @@ def main(argv=None):
         "timestep count); the serving config is --scheduler ddim "
         "--num_inference_steps 10",
     )
+    p.add_argument(
+        "--timestep_spacing", default="leading",
+        choices=["leading", "trailing"],
+        help="few-step timestep spacing for closedloop/heldout: leading "
+        "(diffusers/reference parity) or trailing (starts the chain at "
+        "t=T-1 where the init really is pure noise; "
+        "ops/schedulers.DiffusionSchedule.timesteps)",
+    )
     args = p.parse_args(argv)
     _enable_compilation_cache()
     # Namespace all artifacts by task: the gen-stage resume check and
@@ -666,6 +678,7 @@ def main(argv=None):
             task=args.task, prediction_samples=args.prediction_samples,
             summary_name=f"closed_loop_summary{suffix}.json",
             num_inference_steps=steps, scheduler=args.scheduler,
+            timestep_spacing=args.timestep_spacing,
         )
     if args.stage == "heldout":
         heldout_eval(
@@ -673,6 +686,7 @@ def main(argv=None):
             task=args.task, prediction_samples=args.prediction_samples,
             train_seed=args.seed,
             num_inference_steps=steps, scheduler=args.scheduler,
+            timestep_spacing=args.timestep_spacing,
         )
 
 

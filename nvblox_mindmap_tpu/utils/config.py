@@ -142,6 +142,11 @@ class ClosedLoopArgs:
     # docs/data/task_success_mug_in_drawer_ddim.json.
     serving_scheduler: str = "ddpm"
     serving_num_inference_steps: Optional[int] = None
+    # Few-step timestep spacing: "leading" (diffusers default, what the
+    # reference's converted DDIM runs) or "trailing" (chain starts at t=T-1
+    # where the init really is pure noise; the better few-step config —
+    # ops/schedulers.DiffusionSchedule.timesteps docstring).
+    serving_timestep_spacing: str = "leading"
 
 
 @dataclasses.dataclass
