@@ -117,25 +117,131 @@ def probe_scene(model, params, bounds, emb, seed: int,
     return row
 
 
-def summarize(rows: List[dict]) -> dict:
-    ok = [r for r in rows if r["release_xy"] is not None]
+def probe_drill_pick_scene(model, params, bounds, emb, seed: int,
+                           num_vertices: int,
+                           max_policy_goals: int = 8) -> dict:
+    """One drill_in_box scene: information-free expert prefix (head sweep
+    only), then the policy's intended PICK position.
+
+    The drill task inverts cube_stacking's probe geometry: its place target
+    (the box tray) is FIXED per scene while the drill's spawn is randomized
+    in a +/-0.1 m region (closed_loop/scripted.make_drill_in_box_env) — so
+    the perception-vs-prior question lives at the *pick*. The expert prefix
+    is only the two head-sweep goals (staging hands, yaw overshoot +
+    settle): the gripper history at hand-off holds scene-independent
+    staging/rest positions, and everything the policy can know about the
+    drill's position is in the fused map. The first policy goal commanding
+    a closed right hand before anything is held is where it intends to
+    grasp; regressing that xy on the drill's xy separates map-grounded
+    picks (slope ~ 1) from a memorized dataset prior (slope ~ 0).
+    """
+    from nvblox_mindmap_tpu.closed_loop.goals import is_goal_reached
+    from nvblox_mindmap_tpu.closed_loop.policies import (
+        NvbloxDiffuserActorPolicy,
+    )
+    from nvblox_mindmap_tpu.closed_loop.scripted import (
+        make_drill_in_box_env, scripted_humanoid_pick_place_goals,
+    )
+    from nvblox_mindmap_tpu.scripts.task_success_experiment import (
+        mapping_config,
+    )
+
+    env = make_drill_in_box_env(seed)
+    policy = NvbloxDiffuserActorPolicy(
+        model, params, emb, mapping_config("drill_in_box"),
+        np.asarray(bounds), num_vertices_to_sample=num_vertices, seed=3,
+    )
+    env.reset()
+    obj = env.initial_objects["power_drill"][:3]
+    box = env.initial_objects["open_box"][:3]
+    place = np.asarray([
+        box[0], box[1],
+        box[2] + env.object_half_map["open_box"][2]
+        + env.object_half_map["power_drill"][2],
+    ])
+    gt = scripted_humanoid_pick_place_goals(
+        obj, place, env.initial_state[8:11], env.initial_state[0:3]
+    )
+
+    def run_to(goal) -> None:
+        for _ in range(40):
+            policy.step(env)
+            env.step(goal)
+            if is_goal_reached(
+                emb, np.asarray(env.get_policy_state()), goal,
+                is_intermediate_goal=False,
+            ):
+                break
+
+    for g in gt[:2]:  # head sweep overshoot + settle: no object info leaks
+        run_to(g)
+    assert not env.held_object_names(), f"scene {seed}: prefix grasped?"
+
+    # 17-dim humanoid goal layout (scripted._hgoal): right hand pos 8:11,
+    # right closedness 15.
+    pick_xy: Optional[np.ndarray] = None
+    n_goals = 0
+    for _ in range(max_policy_goals):
+        if pick_xy is not None:
+            break
+        goals = policy.get_new_goal(env)
+        if not goals:
+            break
+        for g in goals:
+            g = np.asarray(g)
+            n_goals += 1
+            if g[15] >= 0.5 and not env.held_object_names():
+                pick_xy = g[8:10].copy()
+                break
+            run_to(g)
+    o = np.asarray(obj[:2], dtype=np.float64)
+    return {
+        "seed": seed,
+        "drill_xy": o.tolist(),
+        "pick_xy": None if pick_xy is None else pick_xy.tolist(),
+        "pick_error_m": (
+            None if pick_xy is None else float(np.linalg.norm(pick_xy - o))
+        ),
+        "policy_goals_until_pick": n_goals,
+    }
+
+
+def summarize(rows: List[dict], target_key: str = "cube_1_xy",
+              pred_key: str = "release_xy",
+              err_key: str = "release_error_m") -> dict:
+    ok = [r for r in rows if r[pred_key] is not None]
     out = {"num_scenes": len(rows), "num_released": len(ok)}
     if len(ok) >= 4:
-        t = np.asarray([r["cube_1_xy"] for r in ok])
-        p = np.asarray([r["release_xy"] for r in ok])
+        t = np.asarray([r[target_key] for r in ok])
+        p = np.asarray([r[pred_key] for r in ok])
         for axis, name in ((0, "x"), (1, "y")):
             out[f"slope_{name}"] = float(np.polyfit(t[:, axis], p[:, axis], 1)[0])
             out[f"r_{name}"] = float(np.corrcoef(t[:, axis], p[:, axis])[0, 1])
-        errs = np.asarray([r["release_error_m"] for r in ok])
+        errs = np.asarray([r[err_key] for r in ok])
         out["median_release_error_m"] = float(np.median(errs))
         out["mean_release_error_m"] = float(errs.mean())
         out["release_spread_m"] = float(np.std(p, axis=0).mean())
     return out
 
 
+_TASK_PROBE_KEYS = {
+    # task -> (probe fn, regression target key, prediction key, error key)
+    "cube_stacking": (probe_scene, "cube_1_xy", "release_xy",
+                      "release_error_m"),
+    "drill_in_box": (probe_drill_pick_scene, "drill_xy", "pick_xy",
+                     "pick_error_m"),
+}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument(
+        "--task", default="cube_stacking", choices=sorted(_TASK_PROBE_KEYS),
+        help="cube_stacking regresses the policy's RELEASE on the support "
+        "cube (the randomized place); drill_in_box regresses the policy's "
+        "PICK on the drill spawn (its place tray is fixed per scene)",
+    )
     ap.add_argument("--scenes", type=int, default=10)
     ap.add_argument(
         "--seed_base", type=int, default=9000,
@@ -151,23 +257,25 @@ def main(argv=None):
     )
 
     _enable_compilation_cache()
-    model, params, _, bounds = load_model(args.checkpoint, "cube_stacking")
-    emb = _embodiment_for_task("cube_stacking")
+    probe_fn, target_key, pred_key, err_key = _TASK_PROBE_KEYS[args.task]
+    model, params, _, bounds = load_model(args.checkpoint, args.task)
+    emb = _embodiment_for_task(args.task)
     rows = []
     for s in range(args.scenes):
-        row = probe_scene(
+        row = probe_fn(
             model, params, bounds, emb, args.seed_base + s,
             num_vertices=args.num_vertices,
         )
         rows.append(row)
+        pred = row[pred_key]
         print(
-            f"scene {row['seed']}: cube_1=({row['cube_1_xy'][0]:+.3f},"
-            f"{row['cube_1_xy'][1]:+.3f}) release="
-            + ("NONE" if row["release_xy"] is None else
-               f"({row['release_xy'][0]:+.3f},{row['release_xy'][1]:+.3f}) "
-               f"err={row['release_error_m']:.3f} m")
+            f"scene {row['seed']}: target=({row[target_key][0]:+.3f},"
+            f"{row[target_key][1]:+.3f}) pred="
+            + ("NONE" if pred is None else
+               f"({pred[0]:+.3f},{pred[1]:+.3f}) "
+               f"err={row[err_key]:.3f} m")
         )
-    summary = summarize(rows)
+    summary = summarize(rows, target_key, pred_key, err_key)
     print(json.dumps(summary, indent=1))
     if args.out:
         with open(args.out, "w") as f:
