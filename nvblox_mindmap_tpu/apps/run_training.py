@@ -145,6 +145,7 @@ def main(argv=None):
         checkpoint_dir=checkpoint_dir,
         checkpoint_backend=args.checkpoint_backend,
         seed=args.seed,
+        remat_policy=args.remat_policy,
     )
 
     from nvblox_mindmap_tpu.utils.config import args_to_dict as _to_dict

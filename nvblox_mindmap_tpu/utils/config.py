@@ -217,6 +217,10 @@ class TrainingAppArgs(ModelArgs, SystemArgs, DataGenArgs):
     # Validation-sampler cost: DDIM-10 by default; <=0 = full DDPM sampling.
     eval_num_inference_steps: int = 10
     eval_scheduler: str = "ddim"
+    # Activation remat inside the train step ("none" | "dots" |
+    # "dots_no_batch" | "nothing"; trainer.TrainerConfig.remat_policy).
+    # "dots_no_batch" lets flagship batches > 32 fit one chip's HBM.
+    remat_policy: str = "none"
     max_episode_length: int = 5
     viz_freq: int = 200
     skip_train_val: bool = False
