@@ -1116,6 +1116,13 @@ if __name__ == "__main__":
     import sys
 
     if "--measure" in sys.argv:
+        # Every measurement subprocess gets the persistent compile cache —
+        # NOT just the keypose paths whose main() enables it internally.
+        # Without this the train/fusion/e2e measurements silently recompiled
+        # their multi-minute programs on every run (measured: the flagship
+        # train step re-paid a 250-540 s XLA compile per subprocess while
+        # the keypose programs cached fine).
+        _enable_compilation_cache()
         what = sys.argv[sys.argv.index("--measure") + 1]
         if what == "keypose":
             ddpm_ms, ddim_ms, pipelined_ms, pipelined_ddim_ms, b8_ms = main()

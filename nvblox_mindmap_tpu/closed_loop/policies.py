@@ -171,6 +171,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         stochastic_sampling: bool = True,
         num_prediction_samples: int = 1,
         timestep_spacing: str = "leading",
+        clip_sample: Optional[bool] = None,
     ):
         """``num_inference_steps``/``scheduler_kind``/``stochastic_sampling``
         select the reverse-diffusion sampler. Defaults match the reference
@@ -202,6 +203,9 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
         # measurably the better DDIM-10 serving config on the scene-world
         # policies (docs/pages/benchmarks.md, DDIM serving section).
         self.timestep_spacing = timestep_spacing
+        # None keeps the schedule's default (True, training parity); False
+        # disables the per-step x0 clamp (models/diffuser_actor.py:425-429).
+        self.clip_sample = clip_sample
         self.stochastic_sampling = stochastic_sampling
         assert num_prediction_samples >= 1, num_prediction_samples
         self.num_prediction_samples = num_prediction_samples
@@ -405,6 +409,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
             kind = self.scheduler_kind
             stochastic = self.stochastic_sampling
             spacing = self.timestep_spacing
+            clip = self.clip_sample
 
             @jax.jit
             def infer(params, batch, key):
@@ -413,6 +418,7 @@ class NvbloxDiffuserActorPolicy(PolicyBase):
                     model, {"params": params}, prepared, key, bounds,
                     num_inference_steps=n_steps, scheduler_kind=kind,
                     stochastic=stochastic, timestep_spacing=spacing,
+                    clip_sample=clip,
                 )
 
             self._infer = infer

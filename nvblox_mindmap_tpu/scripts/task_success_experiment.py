@@ -463,7 +463,8 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
                 summary_name: str = "closed_loop_summary.json",
                 num_inference_steps: int | None = None,
                 scheduler: str = "ddpm",
-                timestep_spacing: str = "leading") -> Dict:
+                timestep_spacing: str = "leading",
+                clip_sample: bool | None = None) -> Dict:
     """``scheduler``/``num_inference_steps`` select the reverse-diffusion
     sampler: defaults reproduce the reference's closed-loop protocol (full
     stochastic DDPM at the training timestep count); ``--scheduler ddim
@@ -498,6 +499,7 @@ def closed_loop(out: str, num_demos: int, checkpoint: str,
             num_inference_steps=num_inference_steps,
             scheduler_kind=scheduler,
             timestep_spacing=timestep_spacing,
+            clip_sample=clip_sample,
             # DDIM's deterministic (eta=0) variant is the serving config
             # benchmarked in bench.py; DDPM keeps the reference's
             # stochastic sampling.
