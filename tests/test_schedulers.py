@@ -94,3 +94,27 @@ def test_ddim_step_uses_raw_eps_with_clipped_x0():
     eps_rederived = (2.5 - np.sqrt(abar_t) * 1.0) / np.sqrt(1 - abar_t)
     glide = np.sqrt(abar_prev) * 1.0 + np.sqrt(1 - abar_prev) * eps_rederived
     assert abs(float(out[0, 0]) - glide) > 1e-3
+
+
+def test_timestep_spacing_leading_vs_trailing():
+    """Few-step spacing semantics (schedulers.DiffusionSchedule.timesteps):
+    'leading' is diffusers' default — chain starts at t=T-r, ends at 0;
+    'trailing' starts at t=T-1 where the init really is pure noise. The
+    drill_in_box serving measurement (docs/data/
+    task_success_drill_in_box_ddim.json: 0/8 leading -> 6/8 trailing)
+    hangs off exactly these index sets."""
+    import numpy as np
+
+    from nvblox_mindmap_tpu.ops.schedulers import make_schedule
+
+    sched = make_schedule("scaled_linear", 100, kind="ddim")
+    lead = np.asarray(sched.timesteps(10, spacing="leading"))
+    trail = np.asarray(sched.timesteps(10, spacing="trailing"))
+    assert lead.tolist() == [90, 80, 70, 60, 50, 40, 30, 20, 10, 0]
+    assert trail.tolist() == [99, 89, 79, 69, 59, 49, 39, 29, 19, 9]
+    # n == T: both spacings reduce to the full descending chain.
+    full = np.asarray(sched.timesteps(100, spacing="trailing"))
+    assert full.tolist() == list(range(99, -1, -1))
+    assert np.asarray(sched.timesteps(100, spacing="leading")).tolist() == (
+        list(range(99, -1, -1))
+    )
