@@ -359,7 +359,10 @@ def _bench_train_step(
         # Above b32 the unchunked frozen-ViT forward's activation peak
         # exceeds one chip's 16 GB HBM (measured: b64 OOM); chunking the
         # frozen forward (no backward to recompute) restores the sweep.
-        backbone_chunk_images=(64 if uses_rgb and batch_size > 32 else None),
+        # 32-image chunks: b64 with remat lands 334 MB over HBM at chunk
+        # 64 (the fp32 [B,8,820,820] attention-prob temps dominate the
+        # backward's live set); the smaller chunk frees the margin.
+        backbone_chunk_images=(32 if uses_rgb and batch_size > 32 else None),
     )
     B, NV, FD = batch_size, 2048, 768
     NCAM, IMG = 2, 512  # arm default: wrist + table cams at 512x512
@@ -781,10 +784,16 @@ _SPECS = [
     ("keypose_mesh", "keypose_mesh", 5, 240, 900),
     ("train_e2e", "train_e2e", 3, 600, 1500),
     ("train_mesh", "train:mesh:32", 2, 180, 900),
-    ("train_b64", "train:rgbd_and_mesh:64", 2, 300, 1200),
-    ("train_b128", "train:rgbd_and_mesh:128", 2, 400, 1200),
+    # The scaling sweep tops out at b48 on one 16 GB chip: the backward's
+    # transient fp32 [B,8,820,820] attention-probability tensors scale
+    # linearly with batch (1.41 GB each at b64), and every remat policy
+    # measured (dots_no_batch chunk-64: +334 MB over; chunk-32: +337 MB;
+    # nothing_saveable: +1.76 GB — recompute schedules worse) still has to
+    # materialize them transiently. A Pallas flash BACKWARD kernel is the
+    # structural fix; until then b48 (remat + chunked frozen forward) is
+    # the largest flagship batch that fits.
+    ("train_b48", "train:rgbd_and_mesh:48", 2, 300, 1200),
     ("loader", "loader", 1, 420, 1200),
-    ("train_b256", "train:rgbd_and_mesh:256", 2, 500, 1200),
 ]
 _WARM_SPECS = [s for s in _SPECS if s[0] not in ("loader", "train_e2e")]
 
@@ -874,7 +883,7 @@ def _assemble(results: dict, reused: list, skipped: list,
 
     train_flagship = train_point("train_flagship", 32)
     train_scaling = {}
-    for b in (64, 128, 256):
+    for b in (48, 64, 128, 256):
         pt = train_point(f"train_b{b}", b)
         if pt is not None:
             train_scaling[str(b)] = pt
