@@ -117,22 +117,25 @@ def probe_scene(model, params, bounds, emb, seed: int,
     return row
 
 
-def probe_drill_pick_scene(model, params, bounds, emb, seed: int,
-                           num_vertices: int,
-                           max_policy_goals: int = 8) -> dict:
-    """One drill_in_box scene: information-free expert prefix (head sweep
-    only), then the policy's intended PICK position.
+def _probe_humanoid_pick_scene(task: str, make_env, object_name: str,
+                               container_name: str, object_key: str,
+                               model, params, bounds, emb, seed: int,
+                               num_vertices: int,
+                               max_policy_goals: int = 8) -> dict:
+    """One humanoid pick-place scene: information-free expert prefix (head
+    sweep only), then the policy's intended PICK position.
 
-    The drill task inverts cube_stacking's probe geometry: its place target
-    (the box tray) is FIXED per scene while the drill's spawn is randomized
-    in a +/-0.1 m region (closed_loop/scripted.make_drill_in_box_env) — so
-    the perception-vs-prior question lives at the *pick*. The expert prefix
+    The humanoid tasks invert cube_stacking's probe geometry: their place
+    target (the box/drum tray) is FIXED per scene while the object's spawn
+    is randomized in a +/-0.1 m region
+    (closed_loop/scripted.make_{drill_in_box,stick_in_bin}_env) — so the
+    perception-vs-prior question lives at the *pick*. The expert prefix
     is only the two head-sweep goals (staging hands, yaw overshoot +
     settle): the gripper history at hand-off holds scene-independent
     staging/rest positions, and everything the policy can know about the
-    drill's position is in the fused map. The first policy goal commanding
+    object's position is in the fused map. The first policy goal commanding
     a closed right hand before anything is held is where it intends to
-    grasp; regressing that xy on the drill's xy separates map-grounded
+    grasp; regressing that xy on the object's xy separates map-grounded
     picks (slope ~ 1) from a memorized dataset prior (slope ~ 0).
     """
     from nvblox_mindmap_tpu.closed_loop.goals import is_goal_reached
@@ -140,24 +143,24 @@ def probe_drill_pick_scene(model, params, bounds, emb, seed: int,
         NvbloxDiffuserActorPolicy,
     )
     from nvblox_mindmap_tpu.closed_loop.scripted import (
-        make_drill_in_box_env, scripted_humanoid_pick_place_goals,
+        scripted_humanoid_pick_place_goals,
     )
     from nvblox_mindmap_tpu.scripts.task_success_experiment import (
         mapping_config,
     )
 
-    env = make_drill_in_box_env(seed)
+    env = make_env(seed)
     policy = NvbloxDiffuserActorPolicy(
-        model, params, emb, mapping_config("drill_in_box"),
+        model, params, emb, mapping_config(task),
         np.asarray(bounds), num_vertices_to_sample=num_vertices, seed=3,
     )
     env.reset()
-    obj = env.initial_objects["power_drill"][:3]
-    box = env.initial_objects["open_box"][:3]
+    obj = env.initial_objects[object_name][:3]
+    box = env.initial_objects[container_name][:3]
     place = np.asarray([
         box[0], box[1],
-        box[2] + env.object_half_map["open_box"][2]
-        + env.object_half_map["power_drill"][2],
+        box[2] + env.object_half_map[container_name][2]
+        + env.object_half_map[object_name][2],
     ])
     gt = scripted_humanoid_pick_place_goals(
         obj, place, env.initial_state[8:11], env.initial_state[0:3]
@@ -197,13 +200,37 @@ def probe_drill_pick_scene(model, params, bounds, emb, seed: int,
     o = np.asarray(obj[:2], dtype=np.float64)
     return {
         "seed": seed,
-        "drill_xy": o.tolist(),
+        object_key: o.tolist(),
         "pick_xy": None if pick_xy is None else pick_xy.tolist(),
         "pick_error_m": (
             None if pick_xy is None else float(np.linalg.norm(pick_xy - o))
         ),
         "policy_goals_until_pick": n_goals,
     }
+
+
+def probe_drill_pick_scene(model, params, bounds, emb, seed: int,
+                           num_vertices: int,
+                           max_policy_goals: int = 8) -> dict:
+    from nvblox_mindmap_tpu.closed_loop.scripted import make_drill_in_box_env
+
+    return _probe_humanoid_pick_scene(
+        "drill_in_box", make_drill_in_box_env, "power_drill", "open_box",
+        "drill_xy", model, params, bounds, emb, seed, num_vertices,
+        max_policy_goals,
+    )
+
+
+def probe_stick_pick_scene(model, params, bounds, emb, seed: int,
+                           num_vertices: int,
+                           max_policy_goals: int = 8) -> dict:
+    from nvblox_mindmap_tpu.closed_loop.scripted import make_stick_in_bin_env
+
+    return _probe_humanoid_pick_scene(
+        "stick_in_bin", make_stick_in_bin_env, "pick_up_object", "open_drum",
+        "stick_xy", model, params, bounds, emb, seed, num_vertices,
+        max_policy_goals,
+    )
 
 
 def summarize(rows: List[dict], target_key: str = "cube_1_xy",
@@ -230,6 +257,8 @@ _TASK_PROBE_KEYS = {
                       "release_error_m"),
     "drill_in_box": (probe_drill_pick_scene, "drill_xy", "pick_xy",
                      "pick_error_m"),
+    "stick_in_bin": (probe_stick_pick_scene, "stick_xy", "pick_xy",
+                     "pick_error_m"),
 }
 
 
@@ -239,8 +268,9 @@ def main(argv=None):
     ap.add_argument(
         "--task", default="cube_stacking", choices=sorted(_TASK_PROBE_KEYS),
         help="cube_stacking regresses the policy's RELEASE on the support "
-        "cube (the randomized place); drill_in_box regresses the policy's "
-        "PICK on the drill spawn (its place tray is fixed per scene)",
+        "cube (the randomized place); drill_in_box / stick_in_bin regress "
+        "the policy's PICK on the object spawn (their place trays are "
+        "fixed per scene)",
     )
     ap.add_argument("--scenes", type=int, default=10)
     ap.add_argument(
